@@ -1,0 +1,151 @@
+"""Block decoder (XLA core) tests: bit-exact agreement with the golden
+oracle on arbitrary noisy inputs, framing/assembly correctness, metric-dtype
+variants, and end-to-end noiseless exactness through the full API."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_viterbi.chain.encode import conv_encode_np
+from tpu_viterbi.chain.quantize import quantize_and_pack
+from tpu_viterbi.config import (ChannelIn, DecodeOut, DecoderConfig, Metric)
+from tpu_viterbi.decoder.api import ViterbiTPU
+from tpu_viterbi.decoder.core_xla import (decode_blocks, gather_blocks,
+                                          plan_blocks)
+from tpu_viterbi.decoder.golden import golden_decode_block
+from tpu_viterbi.utils.bits import unpack_msb_first
+
+EXTRA_L = 26
+
+
+def _random_soft_blocks(rng, b, dec_len, lo=-31, hi=31):
+    return rng.integers(lo, hi + 1, size=(b, dec_len + 64, 2)).astype(np.int32)
+
+
+def test_kernel_matches_golden_random_soft(rng):
+    """Bit-exact vs golden on random (nonsense) soft inputs — the strongest
+    implementation-equivalence test (exercises every ACS/traceback path)."""
+    dec_len, b = 96, 5
+    r_blocks = _random_soft_blocks(rng, b, dec_len)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    plan = plan_blocks(dec_len * b, cfg.bits_per_pack, dec_len)
+    assert plan.num_blocks == b and plan.dec_len == dec_len
+    out = np.asarray(decode_blocks(jnp.asarray(r_blocks), cfg, plan))
+    got_bits = unpack_msb_first(out, 32)
+    for k in range(b):
+        want = golden_decode_block(r_blocks[k].astype(np.int64), dec_len)
+        got = got_bits[k * dec_len: (k + 1) * dec_len]
+        assert np.array_equal(got, want), f"block {k} mismatch"
+
+
+def test_kernel_matches_golden_b16_packs(rng):
+    dec_len, b = 96, 3
+    r_blocks = _random_soft_blocks(rng, b, dec_len)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT4, metric=Metric.M_B32,
+                        decode_out=DecodeOut.O_B16)
+    plan = plan_blocks(dec_len * b, cfg.bits_per_pack, dec_len)
+    out = np.asarray(decode_blocks(jnp.asarray(r_blocks), cfg, plan))
+    assert out.dtype == np.uint16
+    got_bits = unpack_msb_first(out, 16)
+    for k in range(b):
+        want = golden_decode_block(r_blocks[k].astype(np.int64), dec_len)
+        got = got_bits[k * dec_len: (k + 1) * dec_len]
+        assert np.array_equal(got, want)
+
+
+def test_metric_dtypes_agree(rng):
+    """int16 (with renorm) and int32 metrics must agree on small inputs."""
+    dec_len, b = 64, 4
+    r_blocks = _random_soft_blocks(rng, b, dec_len, -8, 7)
+    plan = plan_blocks(dec_len * b, 32, dec_len)
+    outs = {}
+    for metric in [Metric.M_B32, Metric.M_B16]:
+        cfg = DecoderConfig(channel_in=ChannelIn.SOFT4, metric=metric)
+        outs[metric] = np.asarray(
+            decode_blocks(jnp.asarray(r_blocks), cfg, plan))
+    assert np.array_equal(outs[Metric.M_B32], outs[Metric.M_B16])
+
+
+def test_last_block_overlap_assembly(rng):
+    """message_len not divisible by dec_len: the left-shifted last block must
+    produce the same bits as a golden decode of its span."""
+    dec_len = 64
+    m = 64 * 3 + 32  # forces overlap of 32 bits
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
+    assert plan.num_blocks == 4 and plan.overlap_bits == 32
+    s = m + 64
+    r = rng.integers(-31, 32, size=(s, 2)).astype(np.int32)
+    r_blocks = gather_blocks(jnp.asarray(r), plan)
+    out = np.asarray(decode_blocks(r_blocks, cfg, plan))
+    bits = unpack_msb_first(out, 32)
+    assert len(bits) == m
+    # every output bit must match a golden block decode covering it
+    for k, off in enumerate(plan.offsets()):
+        want = golden_decode_block(
+            r[off: off + dec_len + 64].astype(np.int64), dec_len)
+        span = bits[off: off + dec_len]
+        if k < plan.num_blocks - 1 and off + dec_len > m - dec_len:
+            # tail covered by the last block; only compare the head part
+            span_len = (m - dec_len) - off
+            assert np.array_equal(span[:span_len], want[:span_len])
+        else:
+            assert np.array_equal(span, want)
+
+
+def _end_to_end(cfg, n=4096, sigma=0.0, seed=5, dec_len=256, scale=4.0):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    coded = conv_encode_np(bits).astype(np.float32)
+    sym = 2 * coded - 1
+    if sigma:
+        sym = sym + rng.normal(0, sigma, sym.shape).astype(np.float32)
+    packed = quantize_and_pack(jnp.asarray(sym), cfg.channel_in, scale)
+    dec = ViterbiTPU(cfg, dec_len=dec_len, backend="xla")
+    input_num = 2 * n
+    out, _ = dec.run(np.asarray(packed), input_num)
+    m = cfg.get_message_len(input_num)
+    got = unpack_msb_first(out, cfg.bits_per_pack)[:m]
+    want = bits[EXTRA_L: EXTRA_L + m]
+    return got, want
+
+
+def test_end_to_end_noiseless_all_channels():
+    for chan in [ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8,
+                 ChannelIn.SOFT16, ChannelIn.FP32]:
+        cfg = DecoderConfig(channel_in=chan)
+        got, want = _end_to_end(cfg)
+        assert np.array_equal(got, want), chan
+
+
+def test_end_to_end_noiseless_b16_and_metrics():
+    for cfg in [DecoderConfig(ChannelIn.SOFT4, Metric.M_B16, DecodeOut.O_B16),
+                DecoderConfig(ChannelIn.HARD, Metric.M_FP16, DecodeOut.O_B16),
+                DecoderConfig(ChannelIn.SOFT8, Metric.M_B16, DecodeOut.O_B32),
+                DecoderConfig(ChannelIn.FP32, Metric.M_FP16, DecodeOut.O_B16)]:
+        got, want = _end_to_end(cfg)
+        assert np.array_equal(got, want), cfg
+
+
+def test_end_to_end_noisy_low_ber():
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    got, want = _end_to_end(cfg, n=20000, sigma=0.35, dec_len=512, scale=32.0)
+    ber = np.count_nonzero(got != want) / len(want)
+    assert ber < 1e-3, ber
+
+
+def test_renorm_long_run_int16(rng):
+    """A long single block with int16 metrics must survive renormalization
+    without overflow (cf. viterbiACS.cuh:307-378)."""
+    dec_len = 4096
+    n = dec_len + 64
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    coded = conv_encode_np(bits).astype(np.float32)
+    sym = 2 * coded - 1 + rng.normal(0, 0.5, 2 * n).astype(np.float32)
+    r = np.clip(np.rint(sym * 100), -128, 127).astype(np.int32).reshape(-1, 2)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8, metric=Metric.M_B16)
+    plan = plan_blocks(dec_len, cfg.bits_per_pack, dec_len)
+    out = np.asarray(decode_blocks(jnp.asarray(r)[None], cfg, plan))
+    got = unpack_msb_first(out, 32)
+    want = bits[EXTRA_L: EXTRA_L + dec_len]
+    ber = np.count_nonzero(got != want) / dec_len
+    assert ber < 5e-3, ber

@@ -1,0 +1,114 @@
+"""Quantizer / packer and the matching unpackers.
+
+Reference semantics (src/viterbiDF.h:98-167, SoftDecisionPacker):
+  - every float is scaled by ``scale`` (40000.0 in the driver, main.cpp:137);
+  - HARD:   v > 0 -> 1 else 0 (strict greater-than);
+  - SOFT4:  round-to-nearest(-even) then saturate to [-8, 7], keep 4 bits;
+  - SOFT8:  saturate to [-128, 127], keep 8 bits;
+  - SOFT16: saturate to [-32768, 32767], keep 16 bits;
+  - FP32:   scaled floats pass through unpacked;
+  - packing is MSB = earliest-in-time into int32 words (viterbiDF.h:157-163).
+
+Rounding: the reference uses lrintf (round half to even in the default FP
+environment); jnp.rint matches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChannelIn, DecoderConfig
+from .pipeline import ComputeElement
+
+_QUANT_PARAMS = {
+    ChannelIn.SOFT4: (4, -8, 7),
+    ChannelIn.SOFT8: (8, -128, 127),
+    ChannelIn.SOFT16: (16, -32768, 32767),
+}
+
+
+def quantize_and_pack(values: jnp.ndarray, channel_in: ChannelIn,
+                      scale: float = 1.0) -> jnp.ndarray:
+    """(n,) float soft values -> packed int32 words (or scaled float32 for
+    FP32).  n is zero-padded up to a whole number of words."""
+    v = values.astype(jnp.float32) * scale
+    if channel_in == ChannelIn.FP32:
+        return v
+
+    if channel_in == ChannelIn.HARD:
+        q = (v > 0.0).astype(jnp.uint32)
+        width = 1
+    else:
+        width, lo, hi = _QUANT_PARAMS[channel_in]
+        q = jnp.clip(jnp.rint(v), lo, hi).astype(jnp.int32)
+        q = q.astype(jnp.uint32) & jnp.uint32((1 << width) - 1)
+
+    per_word = 32 // width
+    n = v.shape[0]
+    n_pad = (-n) % per_word
+    if n_pad:
+        q = jnp.pad(q, (0, n_pad))
+    q = q.reshape(-1, per_word)
+    shifts = jnp.arange(per_word - 1, -1, -1, dtype=jnp.uint32) * width
+    words = jnp.bitwise_or.reduce((q << shifts[None, :]), axis=1)
+    return words.astype(jnp.int32)
+
+
+def unpack_to_soft(packed: jnp.ndarray, channel_in: ChannelIn) -> jnp.ndarray:
+    """Packed words -> per-value soft array.
+
+    HARD   -> int32 in {-1, +1} (BPSK re-map of the hard bits)
+    SOFT4  -> int32 in [-8, 7]      (sign-extended nibbles)
+    SOFT8  -> int32 in [-128, 127]
+    SOFT16 -> int32 in [-32768, 32767]
+    FP32   -> float32 clamped to [-2^(FPprecision-1), 2^(FPprecision-1)-1]
+              (clamp semantics of the reference kernel, viterbiBM.cuh:139-151)
+    """
+    if channel_in == ChannelIn.FP32:
+        from ..config import FP_PRECISION
+        lo = -(1 << (FP_PRECISION - 1))
+        hi = (1 << (FP_PRECISION - 1)) - 1
+        return jnp.clip(packed.astype(jnp.float32), lo, hi)
+
+    words = packed.astype(jnp.int32).view(jnp.uint32)
+    if channel_in == ChannelIn.HARD:
+        width = 1
+    else:
+        width = _QUANT_PARAMS[channel_in][0]
+    per_word = 32 // width
+    shifts = jnp.arange(per_word - 1, -1, -1, dtype=jnp.uint32) * width
+    vals = (words[:, None] >> shifts[None, :]) & jnp.uint32((1 << width) - 1)
+    vals = vals.reshape(-1).astype(jnp.int32)
+    if channel_in == ChannelIn.HARD:
+        return vals * 2 - 1
+    half = 1 << (width - 1)
+    return ((vals + half) & ((1 << width) - 1)) - half  # sign extend
+
+
+def unpack_to_soft_np(packed: np.ndarray, channel_in: ChannelIn) -> np.ndarray:
+    """NumPy twin of unpack_to_soft for the golden model."""
+    if channel_in == ChannelIn.FP32:
+        from ..config import FP_PRECISION
+        lo = -(1 << (FP_PRECISION - 1))
+        hi = (1 << (FP_PRECISION - 1)) - 1
+        return np.clip(np.asarray(packed, dtype=np.float32), lo, hi)
+    words = np.asarray(packed).astype(np.int64) & 0xFFFFFFFF
+    width = 1 if channel_in == ChannelIn.HARD else _QUANT_PARAMS[channel_in][0]
+    per_word = 32 // width
+    shifts = (np.arange(per_word)[::-1] * width)
+    vals = ((words[:, None] >> shifts[None, :]) & ((1 << width) - 1)).reshape(-1)
+    if channel_in == ChannelIn.HARD:
+        return (vals * 2 - 1).astype(np.int32)
+    half = 1 << (width - 1)
+    return (((vals + half) & ((1 << width) - 1)) - half).astype(np.int32)
+
+
+class SoftDecisionPacker(ComputeElement):
+    def __init__(self, channel_in: ChannelIn, scale: float = 1.0):
+        super().__init__()
+        self.channel_in = ChannelIn(channel_in)
+        self.scale = float(scale)
+
+    def process(self, soft_values):
+        return quantize_and_pack(soft_values, self.channel_in, self.scale)

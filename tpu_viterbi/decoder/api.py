@@ -1,0 +1,129 @@
+"""Public decoder API: the TPU analog of the reference's ViterbiCUDA class
+(reference: src/viterbi/viterbi.h:91-152, src/viterbi/viterbi.cu:210-238).
+
+Surface kept: constructor (optionally pre-sized), ``run(input, input_num)``
+returning packed decoded words plus a kernel time, and the size calculators
+``get_input_size`` / ``get_message_len`` / ``get_output_size``.  The exported
+framing constants (extra_l, extra_r, bits_per_pack, enc_data_per_pack, ...)
+live on the DecoderConfig.
+
+TPU semantics: ``run`` device-puts the packed input, executes the jitted
+block-parallel decode, and blocks until ready; the reported kernel time spans
+only the compiled decode (compare: cudaEvent around the kernel launch,
+viterbi.cu:224-232, excluding host<->device copies).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chain.quantize import unpack_to_soft
+from ..config import ChannelIn, DecoderConfig
+from .core_xla import decode_blocks, gather_blocks, plan_blocks
+
+DEFAULT_DEC_LEN = 2048
+
+
+class ViterbiTPU:
+    """Block-parallel TPU Viterbi decoder."""
+
+    def __init__(self, config: DecoderConfig = DecoderConfig(),
+                 input_num: Optional[int] = None,
+                 dec_len: int = DEFAULT_DEC_LEN,
+                 backend: str = "auto"):
+        """backend: 'auto' | 'pallas' | 'xla' — 'auto' uses the Pallas kernel
+        on TPU when the config/shape supports it, else the XLA scan core."""
+        self.config = config
+        self.dec_len = int(dec_len)
+        self.backend = backend
+        self._decode_fn = None
+        if input_num is not None:
+            # Pre-sizing hook (reference pre-allocating ctor, viterbi.cu:31-36);
+            # under XLA the analog is warming the compile cache for this size.
+            self._warm(input_num)
+
+    # --- size API (reference: viterbi.cu:64-92) ---
+    def get_input_size(self, input_num: int) -> int:
+        return self.config.get_input_size(input_num)
+
+    def get_message_len(self, input_num: int) -> int:
+        return self.config.get_message_len(input_num)
+
+    def get_output_size(self, input_num: int) -> int:
+        return self.config.get_output_size(input_num)
+
+    # --- decode ---
+    def _build(self, input_num: int):
+        cfg = self.config
+        message_len = cfg.get_message_len(input_num)
+        plan = plan_blocks(message_len, cfg.bits_per_pack, self.dec_len)
+        n_stages = message_len + 64  # last needed stage (getMessageLen bound)
+        use_pallas = self._use_pallas(plan)
+
+        @jax.jit
+        def run(packed):
+            soft = unpack_to_soft(packed, cfg.channel_in)
+            r = soft[: 2 * n_stages].reshape(n_stages, 2)
+            if use_pallas:
+                from .core_pallas import decode_blocks_pallas
+                return decode_blocks_pallas(r, cfg, plan)
+            r_blocks = gather_blocks(r, plan)
+            return decode_blocks(r_blocks, cfg, plan)
+
+        return run, plan
+
+    def _use_pallas(self, plan) -> bool:
+        if self.backend == "xla":
+            return False
+        try:
+            from .core_pallas import pallas_supported
+        except Exception:
+            return False
+        ok = pallas_supported(self.config, plan)
+        if self.backend == "pallas" and not ok:
+            raise ValueError("pallas backend requested but unsupported for "
+                             f"config={self.config} plan={plan}")
+        return ok
+
+    _input_num: Optional[int] = None
+    _compiled: bool = False
+
+    def _warm(self, input_num: int):
+        if self._decode_fn is None or self._input_num != input_num:
+            self._decode_fn, self._plan = self._build(input_num)
+            self._input_num = input_num
+            self._compiled = False
+
+    def run(self, packed_input, input_num: int,
+            want_time: bool = True) -> Tuple[np.ndarray, Optional[float]]:
+        """Decode `input_num` encoded bits from packed channel words.
+
+        Returns (packed_output_words, kernel_seconds).  Output dtype is
+        uint32 for O_B32 and uint16 for O_B16 (reference decPack_t)."""
+        cfg = self.config
+        words = cfg.get_input_words(input_num)
+        if cfg.channel_in == ChannelIn.FP32:
+            x = jnp.asarray(packed_input, dtype=jnp.float32)[:words]
+        else:
+            x = jnp.asarray(packed_input, dtype=jnp.int32)[:words]
+        self._warm(input_num)
+        x = jax.device_put(x)
+        jax.block_until_ready(x)
+        if want_time and not self._compiled:
+            # compile (and first-run) outside the timed region, mirroring the
+            # cudaEvent boundary that times only the kernel (viterbi.cu:224-232)
+            jax.block_until_ready(self._decode_fn(x))
+        t = None
+        if want_time:
+            start = time.perf_counter()
+            out = jax.block_until_ready(self._decode_fn(x))
+            t = time.perf_counter() - start
+        else:
+            out = jax.block_until_ready(self._decode_fn(x))
+        self._compiled = True
+        return np.asarray(out), t

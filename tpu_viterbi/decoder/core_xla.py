@@ -1,0 +1,246 @@
+"""Block-parallel Viterbi decoder core — pure XLA (lax.scan) implementation.
+
+This is the TPU-native redesign of the reference's fused persistent kernel
+(reference: src/viterbi/viterbi.cu:144-207 `viterbi_core`, viterbiACS.cuh,
+viterbiTB.cuh).  Key translations:
+
+  - 6400 persistent warps, one time-block each  ->  B independent time-blocks
+    batched on the *lane* axis of (64, B) path-metric tensors; a single
+    lax.scan over stages advances every block in lockstep.
+  - `__shfl_xor_sync` butterfly + 6-cycle shuffle-exchange state layout
+    (viterbiACS.cuh:418-480)  ->  fixed state-indexed layout where the two
+    predecessor-metric vectors are pairwise row-repeats of the lower/upper
+    half of the state axis (see trellis.py) — static slices, no shuffles.
+  - int16x2 / DPX packed-pair SIMD (viterbiACS.cuh:98-303)  ->  metric dtype
+    parameter (int32 / int16 / float16); the VPU is natively 8x128-wide.
+  - per-warp circular survivor buffer + single-lane traceback
+    (viterbiTB.cuh)  ->  survivor packs dumped every bits_per_pack stages to
+    a (n_packs, 64, B) array; traceback is a lax.scan over pack index,
+    vectorized across all B blocks with a one-hot gather.
+  - warp-vote + shuffle-reduce PM renormalization (viterbiACS.cuh:307-378)
+    ->  per-block (per-lane-column) branchless renorm: each block subtracts
+    its own column minimum when its column max exceeds the threshold.
+    int32 metrics skip renorm entirely: unlike the reference's continuous
+    per-warp stream, blocks here reset PMs to zero, so growth is bounded by
+    dec_len * max|bm| (enforced at plan time).
+
+Decision-bit and state conventions are documented in trellis.py/golden.py;
+the two implementations must stay bit-identical (tested in
+tests/test_decoder.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChannelIn, DecoderConfig, Metric, NUM_STATES
+from ..trellis import BRANCH_CODE_J0, BRANCH_CODE_J1
+
+WARMUP = 64          # extra_l + extra_r stages per block (viterbi.h:73-76)
+_EMIT_DELAY = 32     # output bit o <- decision at stage o + 32
+
+# PM renorm thresholds (reference: viterbiACS.cuh:320, 341, 359)
+_RENORM_LIMIT = {Metric.M_B16: 16000, Metric.M_B32: 10 ** 9,
+                 Metric.M_FP16: 500.0}
+
+
+def metric_dtype(metric: Metric):
+    return {Metric.M_B32: jnp.int32, Metric.M_B16: jnp.int16,
+            Metric.M_FP16: jnp.float16}[metric]
+
+
+@dataclass(frozen=True)
+class BlockPlan:
+    """Static partition of a message into equal overlap-save blocks.
+
+    All blocks decode `dec_len` output bits from `dec_len + 64` input stages.
+    Blocks 0..B-2 start at k*dec_len; the last block is left-shifted to end
+    exactly at message_len (reference instead distributes remainder packs,
+    viterbi.cu:156-162 — equal blocks keep every tensor uniform on TPU).
+    """
+
+    message_len: int
+    dec_len: int
+    num_blocks: int
+    bits_per_pack: int
+
+    @property
+    def block_len(self) -> int:  # ACS stages per block
+        return self.dec_len + WARMUP
+
+    @property
+    def n_packs(self) -> int:  # survivor packs per block
+        return self.block_len // self.bits_per_pack
+
+    @property
+    def overlap_bits(self) -> int:  # tail overlap of the last block
+        return self.num_blocks * self.dec_len - self.message_len
+
+    def offsets(self) -> np.ndarray:
+        o = np.arange(self.num_blocks, dtype=np.int32) * self.dec_len
+        if self.num_blocks > 1:
+            o[-1] = self.message_len - self.dec_len
+        return o
+
+
+def plan_blocks(message_len: int, bits_per_pack: int,
+                dec_len: int = 2048) -> BlockPlan:
+    if message_len % bits_per_pack:
+        raise ValueError("message_len must be a multiple of bits_per_pack")
+    dec_len = max(bits_per_pack, min(dec_len, message_len))
+    dec_len -= dec_len % bits_per_pack
+    num_blocks = -(-message_len // dec_len)
+    return BlockPlan(message_len, dec_len, num_blocks, bits_per_pack)
+
+
+def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
+    """Global (S, 2) soft stage pairs -> (B, L, 2) per-block views (with the
+    extra_l/extra_r halo materialized by overlapping slices)."""
+    offs = jnp.asarray(plan.offsets())
+    idx = offs[:, None] + jnp.arange(plan.block_len, dtype=jnp.int32)[None, :]
+    return r[idx]
+
+
+def _branch_metrics(r0, r1, cfg: DecoderConfig):
+    """(4, B) branch metrics, hypothesis order c = 2*out0 + out1
+    (reference: viterbiBM.cuh — dp2a/dp4a correlations with +-1 coeffs)."""
+    s = r0 + r1
+    d = r0 - r1
+    bm4 = jnp.stack([-s, -d, d, s])
+    if cfg.channel_in == ChannelIn.FP32:
+        # reference truncates the float correlation toward zero
+        # (viterbiBM.cuh:128-153: static_cast<int>)
+        bm4 = jnp.trunc(bm4)
+    return bm4.astype(metric_dtype(cfg.metric))
+
+
+def _acs_stage(pm, pp, bm4, cA, cB):
+    """One add-compare-select stage over all 64 states x B blocks."""
+    bmA = jnp.take(bm4, cA, axis=0)          # (64, B), static row gather
+    bmB = jnp.take(bm4, cB, axis=0)
+    pm_lo = jnp.repeat(pm[:32], 2, axis=0)   # predecessors (s>>1)
+    pm_hi = jnp.repeat(pm[32:], 2, axis=0)   # predecessors (s>>1)+32
+    cand0 = pm_lo + bmA
+    cand1 = pm_hi + bmB
+    dec = cand1 > cand0                      # tie -> j=0 (matches golden)
+    pm_new = jnp.where(dec, cand1, cand0)
+    pp_lo = jnp.repeat(pp[:32], 2, axis=0)
+    pp_hi = jnp.repeat(pp[32:], 2, axis=0)
+    pp_new = (jnp.where(dec, pp_hi, pp_lo) << 1) | dec.astype(jnp.uint32)
+    return pm_new, pp_new
+
+
+def _renorm(pm, cfg: DecoderConfig):
+    """Per-block branchless PM renormalization (cf. viterbiACS.cuh:307-378)."""
+    limit = _RENORM_LIMIT[cfg.metric]
+    col_max = jnp.max(pm, axis=0, keepdims=True)
+    col_min = jnp.min(pm, axis=0, keepdims=True)
+    shift = jnp.where(col_max > jnp.asarray(limit, pm.dtype), col_min,
+                      jnp.zeros_like(col_min))
+    return pm - shift
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def forward_scan(r_blocks: jnp.ndarray, cfg: DecoderConfig,
+                 plan: BlockPlan) -> jnp.ndarray:
+    """ACS over all stages for all blocks.  r_blocks: (B, L, 2) soft values.
+    Returns survivor packs (n_packs, 64, B) uint32."""
+    B, L, _ = r_blocks.shape
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    mdtype = metric_dtype(cfg.metric)
+    do_renorm = cfg.metric in (Metric.M_B16, Metric.M_FP16)
+
+    cA = jnp.asarray(BRANCH_CODE_J0)
+    cB = jnp.asarray(BRANCH_CODE_J1)
+
+    # scan-major layout: (n_packs, bpp, 2, B)
+    rs = r_blocks.transpose(1, 2, 0).reshape(n_packs, bpp, 2, B)
+
+    pm0 = jnp.zeros((NUM_STATES, B), dtype=mdtype)
+    pp0 = jnp.zeros((NUM_STATES, B), dtype=jnp.uint32)
+
+    def stage_step(carry, rt):
+        pm, pp = carry
+        bm4 = _branch_metrics(rt[0], rt[1], cfg)
+        pm, pp = _acs_stage(pm, pp, bm4, cA, cB)
+        return (pm, pp), None
+
+    def pack_step(carry, r_pack):
+        carry, _ = jax.lax.scan(stage_step, carry, r_pack, unroll=bpp)
+        pm, pp = carry
+        if do_renorm:
+            pm = _renorm(pm, cfg)
+        dump = pp if bpp == 32 else (pp & jnp.uint32(0xFFFF))
+        return (pm, pp), dump
+
+    (_, _), surv = jax.lax.scan(pack_step, (pm0, pp0), rs)
+    return surv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def traceback_scan(surv: jnp.ndarray, cfg: DecoderConfig,
+                   plan: BlockPlan) -> jnp.ndarray:
+    """Vectorized sliding-window traceback over survivor packs.
+
+    Replaces the reference's single-lane state chase (viterbiTB.cuh:4-21)
+    with a pack-granular scan batched over all blocks; the per-block dynamic
+    state index becomes a one-hot select+reduce over the 64-state axis.
+    Returns (B, dec_len / bpp) output packs, oldest first.
+    """
+    bpp = plan.bits_per_pack
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)   # packs consumed for convergence
+    n_emit = plan.dec_len // bpp
+    shift = jnp.uint32(bpp - 6)
+    B = surv.shape[2]
+
+    # packs visited, newest first: indices n_packs-1 .. n_packs-n_conv-n_emit
+    lo = plan.n_packs - n_conv - n_emit
+    seq = surv[lo:][::-1]                     # (n_conv + n_emit, 64, B)
+
+    states = jax.lax.broadcasted_iota(jnp.int32, (NUM_STATES, 1), 0)
+
+    def tb_step(state, surv_kp):
+        onehot = states == state[None, :]
+        pack = jnp.where(onehot, surv_kp, jnp.uint32(0)).sum(
+            axis=0, dtype=jnp.uint32)
+        new_state = ((pack >> shift) & jnp.uint32(63)).astype(jnp.int32)
+        return new_state, pack
+
+    _, packs = jax.lax.scan(tb_step, jnp.zeros((B,), jnp.int32), seq)
+    out = packs[n_conv:][::-1]                # (n_emit, B), oldest first
+    return out.transpose(1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def assemble_output(out_packs: jnp.ndarray, cfg: DecoderConfig,
+                    plan: BlockPlan) -> jnp.ndarray:
+    """(B, n_emit) per-block packs -> flat packed output words.
+
+    Blocks 0..B-2 contribute their full span; the last (left-shifted) block
+    contributes only its non-overlapping tail, so the decoded stream covers
+    exactly [0, message_len) with the reference's bit<->pack mapping (MSB =
+    earliest, main.cpp:160)."""
+    if plan.num_blocks == 1:
+        words = out_packs[0]
+    else:
+        head = out_packs[:-1].reshape(-1)
+        ov_words = plan.overlap_bits // plan.bits_per_pack
+        tail = out_packs[-1, ov_words:]
+        words = jnp.concatenate([head, tail])
+    if plan.bits_per_pack == 16:
+        return words.astype(jnp.uint16)
+    return words
+
+
+def decode_blocks(r_blocks: jnp.ndarray, cfg: DecoderConfig,
+                  plan: BlockPlan) -> jnp.ndarray:
+    """Full block-parallel decode: (B, L, 2) soft values -> packed words."""
+    surv = forward_scan(r_blocks, cfg, plan)
+    out_packs = traceback_scan(surv, cfg, plan)
+    return assemble_output(out_packs, cfg, plan)

@@ -1,0 +1,109 @@
+"""Multi-chip block-parallel decode: overlap-save over a device mesh.
+
+The decomposition is the reference's time-block scheme (SURVEY.md §5
+"long-context") lifted one level: the coded stage stream is sharded along
+the 'blocks' mesh axis; each device decodes exactly the output bits whose
+stages live in its shard, and fetches the extra_l+extra_r = 64-stage right
+halo from its neighbor with a single `ppermute` edge exchange over ICI
+(replacing nothing in the reference — it has no multi-device story).
+
+Within a device the usual block batch runs (decoder/core_xla.py); across
+devices no further communication is needed (overlap-save blocks are
+independent), so scaling is embarrassingly parallel after one tiny halo
+exchange — laid out to ride ICI, never DCN-wide collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..chain.quantize import unpack_to_soft
+from ..config import ChannelIn, DecoderConfig
+from ..decoder.core_xla import (WARMUP, decode_blocks, gather_blocks,
+                                plan_blocks)
+from .mesh import BLOCK_AXIS
+
+
+def sharded_stage_count(total_stages: int, num_devices: int,
+                        bits_per_pack: int) -> int:
+    """Stages per device: total padded up so each shard is a whole number of
+    packs and of packed input words for every channel type (lcm 32)."""
+    per = -(-total_stages // num_devices)
+    per = -(-per // 32) * 32
+    return per
+
+
+def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
+                          mesh, dec_len: int = 2048):
+    """Returns a jitted function decoding a globally-sharded packed input.
+
+    Input:  packed words for num_devices * stages_per_device coded stages,
+            sharded along the 'blocks' axis.
+    Output: packed decoded words, sharded the same way; each device emits
+            stages_per_device output bits.  The globally valid prefix is
+            get_message_len(2 * total_stages) bits; the tail past it (which
+            consumed the wraparound halo of device 0) must be discarded by
+            the caller.
+    """
+    num_devices = mesh.shape[BLOCK_AXIS]
+    sd = stages_per_device
+    if sd % 32:
+        raise ValueError("stages_per_device must be a multiple of 32")
+    words_per_stage2 = 2 / cfg.enc_data_per_pack
+    local_words = int(sd * 2 // cfg.enc_data_per_pack)
+    plan = plan_blocks(sd, cfg.bits_per_pack, dec_len)
+    perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
+
+    def local_decode(words_local):
+        soft = unpack_to_soft(words_local, cfg.channel_in)
+        r = soft[: 2 * sd].reshape(sd, 2)
+        halo = jax.lax.ppermute(r[:WARMUP], BLOCK_AXIS, perm)
+        r_full = jnp.concatenate([r, halo], axis=0)   # (sd + 64, 2)
+        r_blocks = gather_blocks(r_full, plan)
+        return decode_blocks(r_blocks, cfg, plan)
+
+    # check_vma=False: the decoder's zero-initialized scan carries are
+    # unvarying over the mesh axis by construction; axis-varying inference
+    # would otherwise require threading pvary through the shared core.
+    fn = shard_map(local_decode, mesh=mesh,
+                   in_specs=P(BLOCK_AXIS), out_specs=P(BLOCK_AXIS),
+                   check_vma=False)
+    return jax.jit(fn), plan, local_words
+
+
+def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
+                   mesh, dec_len: int = 2048) -> Tuple[np.ndarray, int]:
+    """Convenience end-to-end sharded decode.
+
+    packed_global: full packed channel input (host array).  Returns
+    (packed_output_words, message_len)."""
+    num_devices = mesh.shape[BLOCK_AXIS]
+    total_stages = input_num // 2
+    sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack)
+    padded_stages = sd * num_devices
+    words_needed = padded_stages * 2 // cfg.enc_data_per_pack
+
+    arr = np.asarray(packed_global)
+    if cfg.channel_in == ChannelIn.FP32:
+        arr = arr.astype(np.float32)
+    else:
+        arr = arr.astype(np.int32)
+    if len(arr) < words_needed:
+        arr = np.pad(arr, (0, words_needed - len(arr)))
+    else:
+        arr = arr[:words_needed]
+
+    fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
+    x = jax.device_put(jnp.asarray(arr),
+                       NamedSharding(mesh, P(BLOCK_AXIS)))
+    out = np.asarray(jax.block_until_ready(fn(x)))
+
+    message_len = cfg.get_message_len(input_num)
+    return out[: message_len // cfg.bits_per_pack], message_len
