@@ -1,0 +1,236 @@
+"""Fused Pallas TPU kernel: BM + ACS + register-exchange + traceback.
+
+This is the TPU equivalent of the reference's single persistent CUDA kernel
+(reference: src/viterbi/viterbi.cu:144-207) — one kernel program decodes a
+tile of 128 time-blocks end to end:
+
+  grid axis      = block tiles (128 blocks on the VPU lane axis per program)
+  VMEM residency = the tile's soft inputs, the survivor-pack store
+                   (the analog of the reference's per-warp global-memory
+                   circular buffer, viterbi.cu:99-100 — here it is on-chip),
+                   and the output packs
+  forward pass   = lax.fori_loop over survivor packs, 32 ACS stages unrolled
+                   per iteration (cf. bmCalc batch + 32x forwardACS,
+                   viterbi.cu:185-197)
+  traceback      = in-kernel pack-granular state chase, one-hot gather over
+                   the 64-state sublane axis (cf. viterbiTB.cuh:4-21)
+
+ACS formulation (chosen from measured Mosaic lowering costs — see
+scripts/acs_variants_bench.py):
+
+  *Even/odd half-space ACS.*  Both generator polynomials tap the newest bit
+  b_t and the dropped bit b_{t-6} (bits 6 and 0 of 0o171/0o133), so flipping
+  either bit negates the branch correlation.  With states indexed
+  newest-bit-at-LSB, the even child 2q and odd child 2q+1 share the same
+  predecessor pair {q, q+32} and use negated metrics:
+
+      E'[q] = max(L[q] + bm[q], H[q] - bm[q])      (child 2q)
+      O'[q] = max(L[q] - bm[q], H[q] + bm[q])      (child 2q+1)
+
+  where L = pm[:32], H = pm[32:] are *free contiguous slices*.  The only
+  shuffle left is re-merging (E', O') into natural state order, which Mosaic
+  lowers efficiently as stack+reshape — measured ~0 ns/stage vs ~420 ns/stage
+  for the naive per-row repeat gathers (the butterfly-equivalent).  This is
+  the TPU replacement for the reference's __shfl_xor_sync butterfly network
+  and 6-cycle shuffle-exchange layout (viterbiACS.cuh:418-480).
+
+Supported configs (v1): int32 metrics (M_B32), both pack widths, all
+channels.  Other metric dtypes fall back to the XLA scan core.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ChannelIn, DecodeOut, DecoderConfig, Metric, NUM_STATES
+from .core_xla import BlockPlan, assemble_output
+
+LANE_TILE = 128  # blocks per kernel program (VPU lane width)
+
+# Low-6-bit tap masks of the reversed polynomials (see trellis.py):
+# out_k(window) = parity(window & mask_k); window = state for the j=0 branch.
+_TAP_MASK0 = 0o117 & 63
+_TAP_MASK1 = 0o155 & 63
+
+
+def pallas_supported(cfg: DecoderConfig, plan: BlockPlan) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return cfg.metric == Metric.M_B32
+
+
+def _parity(v):
+    v = v ^ (v >> 4)
+    v = v ^ (v >> 2)
+    v = v ^ (v >> 1)
+    return v & 1
+
+
+def _even_child_signs(dtype):
+    """(32, 1) signs (s0, s1) of the expected coded bits for the j=0 branch
+    into even child state 2q, q = row index.  Odd child and j=1 metrics are
+    negations (see module docstring)."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    w = 2 * q                                   # window of (state=2q, j=0)
+    s0 = 2 * _parity(w & _TAP_MASK0) - 1
+    s1 = 2 * _parity(w & _TAP_MASK1) - 1
+    return s0.astype(dtype), s1.astype(dtype)
+
+
+def _merge(a, b):
+    """Row interleave [a0,b0,a1,b1,...] — Mosaic lowers stack+reshape well."""
+    h, w = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
+
+
+def _recombine(e, o):
+    """(E', O') children -> natural state order (64, B)."""
+    return jnp.concatenate([_merge(e[:16], o[:16]),
+                            _merge(e[16:], o[16:])], axis=0)
+
+
+def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
+                    n_emit, is_float):
+    """One tile: rs_ref (n_packs, bpp, 2, LT) -> out_ref (n_emit, LT)."""
+    lt = out_ref.shape[1]
+    s0, s1 = _even_child_signs(jnp.float32 if is_float else jnp.int32)
+    pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
+
+    def pack_body(p, carry):
+        pm, pp = carry
+
+        def run_stage(s, pm, pp):
+            rt = rs_ref[p, s]                   # (2, LT)
+            r0 = rt[0:1, :]
+            r1 = rt[1:2, :]
+            if is_float:
+                bm = jnp.trunc(r0 * s0 + r1 * s1).astype(jnp.int32)
+            else:
+                bm = r0 * s0 + r1 * s1          # (32, LT)
+            lo, hi = pm[:32], pm[32:]
+            c0e = lo + bm
+            c1e = hi - bm
+            dec_e = c1e > c0e                   # tie -> j=0 (matches golden)
+            e_new = jnp.where(dec_e, c1e, c0e)
+            c0o = lo - bm
+            c1o = hi + bm
+            dec_o = c1o > c0o
+            o_new = jnp.where(dec_o, c1o, c0o)
+            pm = _recombine(e_new, o_new)
+
+            pl_, ph_ = pp[:32], pp[32:]
+            pe = (jnp.where(dec_e, ph_, pl_) << 1) | dec_e.astype(jnp.int32)
+            po = (jnp.where(dec_o, ph_, pl_) << 1) | dec_o.astype(jnp.int32)
+            pp = _recombine(pe, po)
+            return pm, pp
+
+        for s in range(bpp):                    # static unroll
+            pm, pp = run_stage(s, pm, pp)
+
+        surv_ref[p] = pp & pack_mask            # survivor-pack dump
+        return pm, pp
+
+    zeros = jnp.zeros((NUM_STATES, lt), jnp.int32)
+    jax.lax.fori_loop(0, n_packs, pack_body, (zeros, zeros))
+
+    # ---- traceback (pack-granular register-exchange state chase) ----
+    states = jax.lax.broadcasted_iota(jnp.int32, (NUM_STATES, 1), 0)
+    emit_lo = n_packs - n_conv - n_emit         # lowest pack index touched
+
+    def tb_body(k, state):                      # state: (1, LT)
+        kp = n_packs - 1 - k
+        onehot = states == state
+        pack = jnp.sum(jnp.where(onehot, surv_ref[kp], 0), axis=0,
+                       keepdims=True)           # (1, LT)
+        new_state = jax.lax.shift_right_logical(pack, bpp - 6) & 63
+
+        @pl.when(k >= n_conv)
+        def _():
+            out_ref[pl.ds(kp - emit_lo, 1), :] = pack
+
+        return new_state
+
+    jax.lax.fori_loop(0, n_conv + n_emit, tb_body,
+                      jnp.zeros((1, lt), jnp.int32))
+
+
+def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
+    """Global (S, 2) soft stages -> (n_packs, bpp, 2, b_pad) scan-major tile
+    layout WITHOUT an index gather (XLA gathers are catastrophically slow on
+    TPU): the non-overlapping body is a pure reshape of the stream and the
+    64-stage halo is a shifted reshaped view; the (L, 2, B) transpose is the
+    only data movement.
+
+    The last real block is left-shifted (plan.offsets); padding blocks and
+    the shifted last block are patched with narrow per-block slices (cheap:
+    touches 2 blocks, not B)."""
+    dl, L, B = plan.dec_len, plan.block_len, plan.num_blocks
+
+    # r carries message_len + 64 stages; the uniform body/halo views below
+    # need B*dl + 64 (>= that when the last block overlaps).  Zero-pad; the
+    # padded rows only enter the last block's unpatched row, which is
+    # overwritten by the left-shifted slice underneath.
+    need = B * dl + 64
+    if r.shape[0] < need:
+        r = jnp.concatenate(
+            [r, jnp.zeros((need - r.shape[0], 2), r.dtype)], axis=0)
+
+    body = r[: B * dl].reshape(B, dl, 2)
+    halo_src = jnp.concatenate([r[dl:], jnp.zeros((dl, 2), r.dtype)], axis=0)
+    halo = halo_src[: B * dl].reshape(B, dl, 2)[:, :64]
+    blocks = jnp.concatenate([body, halo], axis=1)      # (B, L, 2)
+
+    if B > 1 and plan.overlap_bits:
+        # left-shifted last block (ends exactly at message_len)
+        last = jax.lax.dynamic_slice(
+            r, (plan.message_len - dl, 0), (L, 2))
+        blocks = blocks.at[B - 1].set(last)
+
+    if b_pad > B:
+        pad = jnp.zeros((b_pad - B, L, 2), r.dtype)
+        blocks = jnp.concatenate([blocks, pad], axis=0)
+
+    return blocks.transpose(1, 2, 0).reshape(plan.n_packs,
+                                             plan.bits_per_pack, 2, b_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
+                         plan: BlockPlan) -> jnp.ndarray:
+    """Full decode from the global (S, 2) soft stage array via the fused
+    Pallas kernel.  Returns packed output words (uint32/uint16)."""
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)
+    n_emit = plan.dec_len // bpp
+    is_float = cfg.channel_in == ChannelIn.FP32
+
+    b = plan.num_blocks
+    b_pad = -(-b // LANE_TILE) * LANE_TILE
+    rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
+                       plan, b_pad)
+
+    kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
+                               n_conv=n_conv, n_emit=n_emit,
+                               is_float=is_float)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // LANE_TILE,),
+        in_specs=[pl.BlockSpec((n_packs, bpp, 2, LANE_TILE),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_emit, LANE_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, LANE_TILE),
+                                   jnp.int32)],
+    )(rs)
+
+    out_packs = out.transpose(1, 0)[:b].view(jnp.uint32)  # (b, n_emit)
+    return assemble_output(out_packs, cfg, plan)

@@ -106,31 +106,54 @@ def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
     return r[idx]
 
 
+# BPSK sign of each expected coded bit on the j=0 branch, per state:
+# +1 where the expected bit is 1 (correlation convention of the reference's
+# dp2a/dp4a coefficient tables, viterbiBM.cuh:45-124).
+_SIGN0_NP = (2 * ((BRANCH_CODE_J0 >> 1) & 1) - 1).astype(np.int32)[:, None]
+_SIGN1_NP = (2 * (BRANCH_CODE_J0 & 1) - 1).astype(np.int32)[:, None]
+
+
 def _branch_metrics(r0, r1, cfg: DecoderConfig):
-    """(4, B) branch metrics, hypothesis order c = 2*out0 + out1
-    (reference: viterbiBM.cuh — dp2a/dp4a correlations with +-1 coeffs)."""
-    s = r0 + r1
-    d = r0 - r1
-    bm4 = jnp.stack([-s, -d, d, s])
+    """(64, B) j=0 branch metrics bmA[s] = sign0[s]*r0 + sign1[s]*r1
+    (reference: viterbiBM.cuh — dp2a/dp4a correlations with +-1 coeffs).
+    The j=1 metric is -bmA (see _acs_stage)."""
+    mdtype = metric_dtype(cfg.metric)
     if cfg.channel_in == ChannelIn.FP32:
         # reference truncates the float correlation toward zero
         # (viterbiBM.cuh:128-153: static_cast<int>)
-        bm4 = jnp.trunc(bm4)
-    return bm4.astype(metric_dtype(cfg.metric))
+        s0 = jnp.asarray(_SIGN0_NP, jnp.float32)
+        s1 = jnp.asarray(_SIGN1_NP, jnp.float32)
+        bmA = jnp.trunc(s0 * r0[None, :] + s1 * r1[None, :])
+        return bmA.astype(mdtype)
+    s0 = jnp.asarray(_SIGN0_NP).astype(mdtype)
+    s1 = jnp.asarray(_SIGN1_NP).astype(mdtype)
+    r0 = r0.astype(mdtype)
+    r1 = r1.astype(mdtype)
+    return s0 * r0[None, :] + s1 * r1[None, :]
 
 
-def _acs_stage(pm, pp, bm4, cA, cB):
-    """One add-compare-select stage over all 64 states x B blocks."""
-    bmA = jnp.take(bm4, cA, axis=0)          # (64, B), static row gather
-    bmB = jnp.take(bm4, cB, axis=0)
-    pm_lo = jnp.repeat(pm[:32], 2, axis=0)   # predecessors (s>>1)
-    pm_hi = jnp.repeat(pm[32:], 2, axis=0)   # predecessors (s>>1)+32
+def _repeat2(x):
+    """Pairwise row repeat [x0,x0,x1,x1,...]: broadcast+reshape (layout ops)
+    instead of jnp.repeat (gather)."""
+    h, b = x.shape
+    return jnp.broadcast_to(x[:, None, :], (h, 2, b)).reshape(2 * h, b)
+
+
+def _acs_stage(pm, pp, bmA):
+    """One add-compare-select stage over all 64 states x B blocks.
+
+    bmA is the j=0 branch metric per state; the j=1 metric is exactly -bmA
+    because both generator polynomials tap the dropped bit b_{t-6} (bit 0 of
+    0o171 and 0o133), so flipping j flips both coded bits and negates the
+    correlation."""
+    pm_lo = _repeat2(pm[:32])                # predecessors (s>>1)
+    pm_hi = _repeat2(pm[32:])                # predecessors (s>>1)+32
     cand0 = pm_lo + bmA
-    cand1 = pm_hi + bmB
+    cand1 = pm_hi - bmA
     dec = cand1 > cand0                      # tie -> j=0 (matches golden)
     pm_new = jnp.where(dec, cand1, cand0)
-    pp_lo = jnp.repeat(pp[:32], 2, axis=0)
-    pp_hi = jnp.repeat(pp[32:], 2, axis=0)
+    pp_lo = _repeat2(pp[:32])
+    pp_hi = _repeat2(pp[32:])
     pp_new = (jnp.where(dec, pp_hi, pp_lo) << 1) | dec.astype(jnp.uint32)
     return pm_new, pp_new
 
@@ -156,9 +179,6 @@ def forward_scan(r_blocks: jnp.ndarray, cfg: DecoderConfig,
     mdtype = metric_dtype(cfg.metric)
     do_renorm = cfg.metric in (Metric.M_B16, Metric.M_FP16)
 
-    cA = jnp.asarray(BRANCH_CODE_J0)
-    cB = jnp.asarray(BRANCH_CODE_J1)
-
     # scan-major layout: (n_packs, bpp, 2, B)
     rs = r_blocks.transpose(1, 2, 0).reshape(n_packs, bpp, 2, B)
 
@@ -167,8 +187,8 @@ def forward_scan(r_blocks: jnp.ndarray, cfg: DecoderConfig,
 
     def stage_step(carry, rt):
         pm, pp = carry
-        bm4 = _branch_metrics(rt[0], rt[1], cfg)
-        pm, pp = _acs_stage(pm, pp, bm4, cA, cB)
+        bmA = _branch_metrics(rt[0], rt[1], cfg)
+        pm, pp = _acs_stage(pm, pp, bmA)
         return (pm, pp), None
 
     def pack_step(carry, r_pack):
