@@ -5,13 +5,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Metric: aggregate decoded Gb/s for the BASELINE.json headline config
-(K=7 rate-1/2, soft-8 input, int32 metrics, b32 packs).  vs_baseline is the
-ratio against the reference's "over 100 Gb/s on consumer GPUs" claim
-(reference README.md:3) — the only number it publishes.
+(K=7 rate-1/2, soft-8 input, int32 metrics, b32 packs), measured like the
+reference measures kernel time — around the decode computation only,
+excluding host<->device transfer (reference: cudaEvent pair around the
+kernel launch, src/viterbi/viterbi.cu:224-232).
 
-Throughput = get_message_len(input_num) / kernel_time, matching the
-reference's cudaEvent measurement boundary that excludes host<->device
-copies (src/viterbi/viterbi.cu:224-232).
+Harness notes for this dev environment: the TPU sits behind a relay that
+adds a fixed dispatch+fetch latency (~33 ms) and memoizes identical
+dispatches, and bulk host<->device transfer is slow.  Therefore the
+workload is generated on device, the BER check runs on device
+(XOR + population_count against the repacked ground truth), only scalars
+cross the wire, inputs differ per timed call, and a null-dispatch floor is
+subtracted.
 """
 
 import json
@@ -21,51 +26,107 @@ import time
 import numpy as np
 
 BASELINE_GBPS = 100.0
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[bench +{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_viterbi.chain import conv_encode, add_awgn, quantize_and_pack
+    from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
+    from tpu_viterbi.chain.quantize import unpack_to_soft
     from tpu_viterbi.chain.source import random_bits
     from tpu_viterbi.config import ChannelIn, DecoderConfig
-    from tpu_viterbi.decoder.api import ViterbiTPU
+    from tpu_viterbi.decoder.core_xla import (decode_blocks, gather_blocks,
+                                              plan_blocks)
 
     message_len = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     snr_db = 5.5
     sigma = float(10.0 ** (-snr_db / 5.0))
-
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    key = jax.random.PRNGKey(42)
-    k1, k2 = jax.random.split(key)
-
-    # generate the workload on-device (chain elements)
-    bits = random_bits(k1, message_len)
-    coded = conv_encode(bits)
-    noisy = add_awgn(k2, coded, sigma)
-    packed = np.asarray(quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0))
-
-    dec = ViterbiTPU(cfg, dec_len=2048)
     input_num = 2 * message_len
-
-    # warm + measure best of 3
-    times = []
-    for _ in range(3):
-        out, t = dec.run(packed, input_num)
-        times.append(t)
-    t = min(times)
     m = cfg.get_message_len(input_num)
-    gbps = m / t / 1e9
+    plan = plan_blocks(m, cfg.bits_per_pack, 2048)
 
-    # correctness guard: BER must be sane at 5.5 dB soft-8
-    from tpu_viterbi.utils.bits import count_bit_errors
-    ben = count_bit_errors(out, cfg.bits_per_pack, np.asarray(bits),
-                           cfg.extra_l)
+    try:
+        from tpu_viterbi.decoder.core_pallas import (decode_blocks_pallas,
+                                                     pallas_supported)
+        use_pallas = pallas_supported(cfg, plan)
+    except Exception:
+        use_pallas = False
+
+    @jax.jit
+    def make_workload(key):
+        """-> (packed channel words, ground-truth output words)."""
+        k1, k2 = jax.random.split(key)
+        bits = random_bits(k1, message_len)
+        coded = conv_encode(bits)
+        noisy = add_awgn(k2, coded, sigma)
+        packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
+        # reference-truth words: bits[extra_l : extra_l+m], MSB-first packs
+        ref = bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32)
+        ref = ref.reshape(-1, 32)
+        shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+        ref_words = jnp.bitwise_or.reduce(ref << shifts[None, :], axis=1)
+        return packed, ref_words
+
+    @jax.jit
+    def decode_and_check(packed, ref_words):
+        soft = unpack_to_soft(packed, cfg.channel_in)
+        r = soft[: 2 * (m + 64)].reshape(m + 64, 2)
+        if use_pallas:
+            out = decode_blocks_pallas(r, cfg, plan)
+        else:
+            out = decode_blocks(gather_blocks(r, plan), cfg, plan)
+        ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
+                      .astype(jnp.int64))
+        return jnp.sum(out.view(jnp.int32)), ben
+
+    @jax.jit
+    def null_sum(packed):
+        return jnp.sum(packed[:128])
+
+    _log(f"staging workloads (m={m}, backend="
+         f"{'pallas' if use_pallas else 'xla'})")
+    workloads = [jax.block_until_ready(make_workload(jax.random.PRNGKey(i)))
+                 for i in (42, 43)]
+    _log("workloads staged; calibrating floor")
+
+    np.asarray(null_sum(workloads[0][0]))
+    floors = []
+    for i in range(4):
+        w = workloads[i % 2][0]
+        t0 = time.perf_counter()
+        np.asarray(null_sum(w))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+
+    _log(f"floor={floor*1e3:.1f} ms; compiling decode")
+    # compile + first run (also yields BEN for the correctness guard)
+    _, ben0 = decode_and_check(*workloads[0])
+    ben = int(np.asarray(ben0))
     ber = ben / m
+    _log(f"decode compiled; BEN={ben}; timing")
+
+    times = []
+    for i in range(4):
+        w = workloads[(i + 1) % 2]
+        t0 = time.perf_counter()
+        s, b = decode_and_check(*w)
+        np.asarray(s), np.asarray(b)
+        times.append(time.perf_counter() - t0)
+    raw = min(times)
+    kernel_s = max(raw - floor, 1e-9)
+    gbps = m / kernel_s / 1e9
+
     if ber > 1e-2:
-        print(json.dumps({"metric": "decoded_throughput", "value": 0.0,
-                          "unit": "Gb/s", "vs_baseline": 0.0,
+        print(json.dumps({"metric": "decoded_throughput_soft8_b32",
+                          "value": 0.0, "unit": "Gb/s", "vs_baseline": 0.0,
                           "error": f"BER {ber:.3g} too high"}))
         return 1
 
@@ -75,9 +136,12 @@ def main():
         "unit": "Gb/s",
         "vs_baseline": round(gbps / BASELINE_GBPS, 4),
         "message_len": message_len,
-        "kernel_seconds": round(t, 6),
+        "kernel_seconds": round(kernel_s, 6),
+        "raw_seconds": round(raw, 6),
+        "dispatch_floor_seconds": round(floor, 6),
         "ber_at_5p5dB": ber,
-        "backend": str(jax.devices()[0]),
+        "backend": "pallas" if use_pallas else "xla",
+        "device": str(jax.devices()[0]),
     }))
     return 0
 

@@ -200,9 +200,10 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
                                              plan.bits_per_pack, 2, b_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
 def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
-                         plan: BlockPlan) -> jnp.ndarray:
+                         plan: BlockPlan,
+                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
     """Full decode from the global (S, 2) soft stage array via the fused
     Pallas kernel.  Returns packed output words (uint32/uint16)."""
     bpp = plan.bits_per_pack
@@ -212,7 +213,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
     is_float = cfg.channel_in == ChannelIn.FP32
 
     b = plan.num_blocks
-    b_pad = -(-b // LANE_TILE) * LANE_TILE
+    b_pad = -(-b // lane_tile) * lane_tile
     rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
                        plan, b_pad)
 
@@ -221,14 +222,14 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
                                is_float=is_float)
     out = pl.pallas_call(
         kernel,
-        grid=(b_pad // LANE_TILE,),
-        in_specs=[pl.BlockSpec((n_packs, bpp, 2, LANE_TILE),
+        grid=(b_pad // lane_tile,),
+        in_specs=[pl.BlockSpec((n_packs, bpp, 2, lane_tile),
                                lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n_emit, LANE_TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, LANE_TILE),
+        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
                                    jnp.int32)],
     )(rs)
 

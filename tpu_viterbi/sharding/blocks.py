@@ -61,11 +61,20 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     plan = plan_blocks(sd, cfg.bits_per_pack, dec_len)
     perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
 
+    try:
+        from ..decoder.core_pallas import (decode_blocks_pallas,
+                                           pallas_supported)
+        use_pallas = pallas_supported(cfg, plan)
+    except Exception:
+        use_pallas = False
+
     def local_decode(words_local):
         soft = unpack_to_soft(words_local, cfg.channel_in)
         r = soft[: 2 * sd].reshape(sd, 2)
         halo = jax.lax.ppermute(r[:WARMUP], BLOCK_AXIS, perm)
         r_full = jnp.concatenate([r, halo], axis=0)   # (sd + 64, 2)
+        if use_pallas:
+            return decode_blocks_pallas(r_full, cfg, plan)
         r_blocks = gather_blocks(r_full, plan)
         return decode_blocks(r_blocks, cfg, plan)
 
