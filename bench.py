@@ -38,6 +38,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat runs skip the multi-minute compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu_viterbi_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
     from tpu_viterbi.chain.quantize import unpack_to_soft
     from tpu_viterbi.chain.source import random_bits
@@ -69,10 +78,9 @@ def main():
         noisy = add_awgn(k2, coded, sigma)
         packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
         # reference-truth words: bits[extra_l : extra_l+m], MSB-first packs
-        ref = bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32)
-        ref = ref.reshape(-1, 32)
-        shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
-        ref_words = jnp.bitwise_or.reduce(ref << shifts[None, :], axis=1)
+        from tpu_viterbi.chain.quantize import pack_words
+        ref_words = pack_words(
+            bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
         return packed, ref_words
 
     @jax.jit

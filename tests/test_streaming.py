@@ -1,0 +1,94 @@
+"""Streaming decoder tests: chunked push/flush must reproduce the one-shot
+decode contract (output bit i = message bit i + extra_l) across chunk
+boundaries."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_viterbi.chain.encode import conv_encode_np
+from tpu_viterbi.chain.quantize import quantize_and_pack
+from tpu_viterbi.config import ChannelIn, DecoderConfig
+from tpu_viterbi.decoder.streaming import StreamingViterbi
+from tpu_viterbi.utils.bits import unpack_msb_first
+
+EXTRA_L = 26
+
+
+def _workload(n, sigma, seed=21):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    coded = conv_encode_np(bits).astype(np.float32)
+    sym = 2 * coded - 1
+    if sigma:
+        sym = sym + rng.normal(0, sigma, sym.shape).astype(np.float32)
+    packed = np.asarray(quantize_and_pack(jnp.asarray(sym), ChannelIn.SOFT8,
+                                          32.0))
+    return bits, packed
+
+
+def test_streaming_noiseless_exact():
+    n = 40_000
+    bits, packed = _workload(n, 0.0)
+    sv = StreamingViterbi(DecoderConfig(channel_in=ChannelIn.SOFT8),
+                          dec_len=512, backend="xla")
+    outs = []
+    chunk_words = 4096  # 8192 stages per chunk
+    for i in range(0, len(packed), chunk_words):
+        outs.append(sv.push(packed[i: i + chunk_words]))
+    outs.append(sv.flush())
+    stream = np.concatenate([unpack_msb_first(o, 32) for o in outs
+                             if len(o)])
+    # contract: output bit i == message bit i + extra_l; check everything
+    # except the padding-influenced tail
+    usable = n - EXTRA_L - 64
+    assert len(stream) >= usable
+    assert np.array_equal(stream[:usable],
+                          bits[EXTRA_L: EXTRA_L + usable])
+
+
+def test_streaming_matches_oneshot_noisy():
+    n = 24_000
+    bits, packed = _workload(n, 0.5)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+
+    sv = StreamingViterbi(cfg, dec_len=512, backend="xla")
+    outs = []
+    for i in range(0, len(packed), 2048):
+        outs.append(sv.push(packed[i: i + 2048]))
+    outs.append(sv.flush())
+    stream = np.concatenate([unpack_msb_first(o, 32) for o in outs
+                             if len(o)])
+
+    from tpu_viterbi.decoder.api import ViterbiTPU
+    one = ViterbiTPU(cfg, dec_len=512, backend="xla")
+    input_num = 2 * n
+    out1, _ = one.run(packed, input_num, want_time=False)
+    m1 = cfg.get_message_len(input_num)
+    oneshot = unpack_msb_first(out1, 32)[:m1]
+
+    ref = bits[EXTRA_L: EXTRA_L + m1]
+    err_stream = np.count_nonzero(stream[:m1] != ref)
+    err_one = np.count_nonzero(oneshot != ref)
+    # same algorithm, different chunk framing: error counts must be close
+    assert abs(err_stream - err_one) <= max(8, err_one), \
+        (err_stream, err_one)
+
+
+def test_streaming_incremental_lengths():
+    """Push sizes that leave non-trivial carries."""
+    n = 10_000
+    bits, packed = _workload(n, 0.0, seed=5)
+    sv = StreamingViterbi(DecoderConfig(channel_in=ChannelIn.SOFT8),
+                          dec_len=128, backend="xla")
+    outs = []
+    sizes = [100, 900, 2000, 50, 1950]
+    pos = 0
+    for s in sizes:
+        outs.append(sv.push(packed[pos: pos + s]))
+        pos += s
+    outs.append(sv.push(packed[pos:]))
+    outs.append(sv.flush())
+    stream = np.concatenate([unpack_msb_first(o, 32) for o in outs
+                             if len(o)])
+    usable = n - EXTRA_L - 64
+    assert np.array_equal(stream[:usable], bits[EXTRA_L: EXTRA_L + usable])

@@ -49,10 +49,51 @@ def quantize_and_pack(values: jnp.ndarray, channel_in: ChannelIn,
     n_pad = (-n) % per_word
     if n_pad:
         q = jnp.pad(q, (0, n_pad))
-    q = q.reshape(-1, per_word)
-    shifts = jnp.arange(per_word - 1, -1, -1, dtype=jnp.uint32) * width
-    words = jnp.bitwise_or.reduce((q << shifts[None, :]), axis=1)
-    return words.astype(jnp.int32)
+    return pack_words(q, width).astype(jnp.int32)
+
+
+def _pack_matrices(width: int):
+    """Banded constant matrices for matmul-based word packing: W[l*pw+j, l]
+    holds the power-of-two weight of field j of lane-word l (hi/lo 16-bit
+    halves separately so every f32 sum stays exact < 2^16)."""
+    pw = 32 // width
+    half = pw // 2
+    whi = np.zeros((pw * 128, 128), np.float32)
+    wlo = np.zeros((pw * 128, 128), np.float32)
+    for lane in range(128):
+        for j in range(half):
+            whi[lane * pw + j, lane] = 2.0 ** (width * (half - 1 - j))
+        for j in range(half, pw):
+            wlo[lane * pw + j, lane] = 2.0 ** (width * (pw - 1 - j))
+    return whi, wlo
+
+
+def pack_words(q: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(n,) uint field values (already masked to `width` bits) -> packed
+    uint32 words, MSB = earliest.
+
+    TPU-native formulation: the bit-packing is one MXU matmul per 16-bit
+    half against a banded power-of-two matrix, with every tensor keeping a
+    128-wide minor dimension.  (The scalar shift-or loop of the reference
+    packer, viterbiDF.h:157-163, maps terribly to TPU: tiny-minor-dim 2D
+    layouts get padded to 128 lanes — 8 GB of padding at 32M-bit scale —
+    and serial OR chains compile pathologically.)"""
+    per_word = 32 // width
+    if per_word == 1:
+        return q.astype(jnp.uint32)
+    n = q.shape[0]
+    n_words = n // per_word
+    span = 128 * per_word
+    n_pad = (-n) % span
+    qf = q.astype(jnp.float32)
+    if n_pad:
+        qf = jnp.concatenate([qf, jnp.zeros((n_pad,), jnp.float32)])
+    q3 = qf.reshape(-1, span)
+    whi, wlo = _pack_matrices(width)
+    hi = jnp.dot(q3, jnp.asarray(whi), preferred_element_type=jnp.float32)
+    lo = jnp.dot(q3, jnp.asarray(wlo), preferred_element_type=jnp.float32)
+    words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+    return words.reshape(-1)[:n_words]
 
 
 def unpack_to_soft(packed: jnp.ndarray, channel_in: ChannelIn) -> jnp.ndarray:
