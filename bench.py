@@ -38,14 +38,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: repeat runs skip the multi-minute compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/tpu_viterbi_jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon relay backend cached-executable execution hangs (verified r1).
 
     from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
     from tpu_viterbi.chain.quantize import unpack_to_soft
@@ -63,7 +57,7 @@ def main():
     plan = plan_blocks(m, cfg.bits_per_pack, 2048)
 
     try:
-        from tpu_viterbi.decoder.core_pallas import (decode_blocks_pallas,
+        from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
                                                      pallas_supported)
         use_pallas = pallas_supported(cfg, plan)
     except Exception:
@@ -85,11 +79,11 @@ def main():
 
     @jax.jit
     def decode_and_check(packed, ref_words):
-        soft = unpack_to_soft(packed, cfg.channel_in)
-        r = soft[: 2 * (m + 64)].reshape(m + 64, 2)
         if use_pallas:
-            out = decode_blocks_pallas(r, cfg, plan)
+            out = decode_packed_pallas(packed, cfg, plan)
         else:
+            soft = unpack_to_soft(packed, cfg.channel_in)
+            r = soft[: 2 * (m + 64)].reshape(m + 64, 2)
             out = decode_blocks(gather_blocks(r, plan), cfg, plan)
         ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
                       .astype(jnp.int64))

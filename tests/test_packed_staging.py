@@ -1,0 +1,66 @@
+"""Word-granular Pallas staging must produce exactly the same
+(n_packs, bpp, 2, b_pad) stage tensor as the soft-value staging path, for
+every channel type and for the left-shifted-last-block case.  Both layouts
+are pure XLA and run on the CPU backend; the Pallas kernel they feed is
+covered by the TPU parity scripts."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_viterbi.chain.quantize import quantize_and_pack, unpack_to_soft
+from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
+from tpu_viterbi.decoder.core_pallas import (_stage_layout,
+                                             _stage_layout_packed)
+from tpu_viterbi.decoder.core_xla import plan_blocks
+
+
+CHANNELS = [ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8,
+            ChannelIn.SOFT16, ChannelIn.FP32]
+
+
+@pytest.mark.parametrize("channel", CHANNELS)
+@pytest.mark.parametrize("message_len,dec_len", [(512, 128), (608, 128)])
+def test_packed_staging_matches_soft_staging(rng, channel, message_len,
+                                             dec_len):
+    cfg = DecoderConfig(channel_in=channel)
+    plan = plan_blocks(message_len, cfg.bits_per_pack, dec_len)
+    n_stages = message_len + 64
+    input_num = 2 * (message_len + cfg.extra_l + cfg.extra_r)
+
+    vals = rng.normal(size=(input_num,)).astype(np.float32) * 3.0
+    packed = quantize_and_pack(jnp.asarray(vals), channel, 1.0)
+
+    soft = unpack_to_soft(packed, channel)
+    r = soft[: 2 * n_stages].reshape(n_stages, 2)
+    is_float = channel == ChannelIn.FP32
+    b_pad = 8  # force padding blocks
+
+    ref = _stage_layout(
+        r.astype(jnp.float32 if is_float else jnp.int32), plan, b_pad)
+    got = _stage_layout_packed(
+        packed.astype(jnp.float32 if is_float else jnp.int32),
+        cfg, plan, b_pad)
+
+    assert got.shape == ref.shape == (plan.n_packs, plan.bits_per_pack,
+                                      2, b_pad)
+    # padding lanes (blocks >= num_blocks) are decoded and discarded; their
+    # fill differs for HARD (zero words unpack to -1, soft padding is 0)
+    nb = plan.num_blocks
+    np.testing.assert_array_equal(np.asarray(got)[..., :nb],
+                                  np.asarray(ref)[..., :nb])
+
+
+def test_packed_staging_b16_packs(rng):
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8, decode_out=DecodeOut.O_B16)
+    message_len, dec_len = 400, 96
+    plan = plan_blocks(message_len, cfg.bits_per_pack, dec_len)
+    input_num = 2 * (message_len + cfg.extra_l + cfg.extra_r)
+    vals = rng.normal(size=(input_num,)).astype(np.float32) * 20.0
+    packed = quantize_and_pack(jnp.asarray(vals), cfg.channel_in, 1.0)
+    soft = unpack_to_soft(packed, cfg.channel_in)
+    r = soft[: 2 * (message_len + 64)].reshape(message_len + 64, 2)
+    b_pad = 8
+    ref = _stage_layout(r.astype(jnp.int32), plan, b_pad)
+    got = _stage_layout_packed(packed.astype(jnp.int32), cfg, plan, b_pad)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

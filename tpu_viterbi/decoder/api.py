@@ -67,11 +67,13 @@ class ViterbiTPU:
 
         @jax.jit
         def run(packed):
+            if use_pallas:
+                # word-granular staging end to end — no lane-padded soft
+                # intermediates (see core_pallas._stage_layout_packed)
+                from .core_pallas import decode_packed_pallas
+                return decode_packed_pallas(packed, cfg, plan)
             soft = unpack_to_soft(packed, cfg.channel_in)
             r = soft[: 2 * n_stages].reshape(n_stages, 2)
-            if use_pallas:
-                from .core_pallas import decode_blocks_pallas
-                return decode_blocks_pallas(r, cfg, plan)
             r_blocks = gather_blocks(r, plan)
             return decode_blocks(r_blocks, cfg, plan)
 

@@ -48,8 +48,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ChannelIn, DecodeOut, DecoderConfig, Metric, NUM_STATES
-from .core_xla import BlockPlan, assemble_output
+from ..config import (ChannelIn, DecodeOut, DecoderConfig, FP_PRECISION,
+                      Metric, NUM_STATES)
+from .core_xla import WARMUP, BlockPlan, assemble_output
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 
@@ -200,22 +201,15 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
                                              plan.bits_per_pack, 2, b_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
-def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
-                         plan: BlockPlan,
-                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
-    """Full decode from the global (S, 2) soft stage array via the fused
-    Pallas kernel.  Returns packed output words (uint32/uint16)."""
+def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
+                lane_tile: int) -> jnp.ndarray:
+    """(n_packs, bpp, 2, b_pad) staged stages -> packed output words."""
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
     n_conv = -(-(cfg.extra_r - bpp) // bpp)
     n_emit = plan.dec_len // bpp
     is_float = cfg.channel_in == ChannelIn.FP32
-
-    b = plan.num_blocks
-    b_pad = -(-b // lane_tile) * lane_tile
-    rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
-                       plan, b_pad)
+    b_pad = rs.shape[3]
 
     kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
                                n_conv=n_conv, n_emit=n_emit,
@@ -233,5 +227,98 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
                                    jnp.int32)],
     )(rs)
 
-    out_packs = out.transpose(1, 0)[:b].view(jnp.uint32)  # (b, n_emit)
+    out_packs = out.transpose(1, 0)[:plan.num_blocks].view(jnp.uint32)
     return assemble_output(out_packs, cfg, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
+def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
+                         plan: BlockPlan,
+                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
+    """Full decode from the global (S, 2) soft stage array via the fused
+    Pallas kernel.  Returns packed output words (uint32/uint16).
+
+    NOTE: the (B, L, 2) staging here keeps a tiny (2-wide) minor dimension
+    that XLA pads to 128 lanes — fine up to a few Mb, pathological at 32M
+    bits.  Large runs should enter through decode_packed_pallas, which
+    stages at packed-word granularity instead."""
+    is_float = cfg.channel_in == ChannelIn.FP32
+    b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
+    rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
+                       plan, b_pad)
+    return _run_kernel(rs, cfg, plan, lane_tile)
+
+
+def _stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
+                         plan: BlockPlan, b_pad: int) -> jnp.ndarray:
+    """Packed channel words -> (n_packs, bpp, 2, b_pad) staged stages,
+    with every intermediate keeping a lane-friendly minor dimension.
+
+    The block split (body reshape + shifted halo view + last-block patch)
+    happens at *word* granularity — 1/dpp of the soft-value traffic — and
+    the word->value unpack runs after the (Lw, B) transpose so its dpp axis
+    sits between two big dimensions instead of being a tiny minor dim (a
+    (N, dpp) unpack layout pads dpp to 128 lanes: ~8 GB of padding at the
+    reference's 32M-bit default workload).  FP32 channel values are treated
+    as width-32 one-value words (no unpack, clamp only —
+    viterbiBM.cuh:139-151 semantics)."""
+    is_float = cfg.channel_in == ChannelIn.FP32
+    dpp = 1 if is_float else cfg.enc_data_per_pack
+    width = cfg.enc_data_width
+    dl, B = plan.dec_len, plan.num_blocks
+    wpb = 2 * dl // dpp                 # body words per block
+    wph = 2 * WARMUP // dpp             # halo words per block
+    Lw = wpb + wph
+
+    need = B * wpb + wph
+    if packed.shape[0] < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
+
+    body = packed[: B * wpb].reshape(B, wpb)
+    halo_src = jnp.concatenate(
+        [packed[wpb:], jnp.zeros((wpb,), packed.dtype)])
+    halo = halo_src[: B * wpb].reshape(B, wpb)[:, :wph]
+    blocks = jnp.concatenate([body, halo], axis=1)          # (B, Lw)
+
+    if B > 1 and plan.overlap_bits:
+        start_w = 2 * (plan.message_len - dl) // dpp
+        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
+        blocks = blocks.at[B - 1].set(last)
+
+    if b_pad > B:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((b_pad - B, Lw), packed.dtype)], axis=0)
+
+    wt = blocks.transpose(1, 0)                             # (Lw, b_pad)
+
+    if is_float:
+        lo = -(1 << (FP_PRECISION - 1))
+        hi = (1 << (FP_PRECISION - 1)) - 1
+        vals = jnp.clip(wt, lo, hi)[:, None, :]
+    else:
+        u = wt.view(jnp.uint32)
+        shifts = jnp.arange(dpp - 1, -1, -1, dtype=jnp.uint32)[None, :, None]
+        vals = ((u[:, None, :] >> (shifts * width))
+                & jnp.uint32((1 << width) - 1)).astype(jnp.int32)
+        if cfg.channel_in == ChannelIn.HARD:
+            vals = vals * 2 - 1
+        elif width < 32:
+            half = 1 << (width - 1)
+            vals = ((vals + half) & ((1 << width) - 1)) - half
+
+    return vals.reshape(plan.n_packs, plan.bits_per_pack, 2, b_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
+def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
+                         plan: BlockPlan,
+                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
+    """Full decode straight from packed channel words (the ViterbiCUDA::run
+    input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
+    the production large-message entry point."""
+    is_float = cfg.channel_in == ChannelIn.FP32
+    packed = packed.astype(jnp.float32 if is_float else jnp.int32)
+    b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
+    rs = _stage_layout_packed(packed, cfg, plan, b_pad)
+    return _run_kernel(rs, cfg, plan, lane_tile)

@@ -62,19 +62,26 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
 
     try:
-        from ..decoder.core_pallas import (decode_blocks_pallas,
+        from ..decoder.core_pallas import (decode_packed_pallas,
                                            pallas_supported)
         use_pallas = pallas_supported(cfg, plan)
     except Exception:
         use_pallas = False
 
+    # halo exchanged at packed-word granularity (the wire format): the
+    # first 64 coded stages of the right neighbor, one tiny ppermute edge
+    dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
+    halo_words = 2 * WARMUP // dpp
+
     def local_decode(words_local):
-        soft = unpack_to_soft(words_local, cfg.channel_in)
-        r = soft[: 2 * sd].reshape(sd, 2)
-        halo = jax.lax.ppermute(r[:WARMUP], BLOCK_AXIS, perm)
-        r_full = jnp.concatenate([r, halo], axis=0)   # (sd + 64, 2)
+        halo = jax.lax.ppermute(words_local[:halo_words], BLOCK_AXIS, perm)
+        words_full = jnp.concatenate([words_local, halo])
         if use_pallas:
-            return decode_blocks_pallas(r_full, cfg, plan)
+            # word-granular staging end to end (no lane-padded soft
+            # intermediates — see core_pallas._stage_layout_packed)
+            return decode_packed_pallas(words_full, cfg, plan)
+        soft = unpack_to_soft(words_full, cfg.channel_in)
+        r_full = soft[: 2 * (sd + WARMUP)].reshape(sd + WARMUP, 2)
         r_blocks = gather_blocks(r_full, plan)
         return decode_blocks(r_blocks, cfg, plan)
 
