@@ -42,11 +42,9 @@ def main():
     # axon relay backend cached-executable execution hangs (verified r1).
 
     from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
-    from tpu_viterbi.chain.quantize import unpack_to_soft
     from tpu_viterbi.chain.source import random_bits
     from tpu_viterbi.config import ChannelIn, DecoderConfig
-    from tpu_viterbi.decoder.core_xla import (decode_blocks, gather_blocks,
-                                              plan_blocks)
+    from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
 
     message_len = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     snr_db = 5.5
@@ -82,12 +80,13 @@ def main():
         if use_pallas:
             out = decode_packed_pallas(packed, cfg, plan)
         else:
-            soft = unpack_to_soft(packed, cfg.channel_in)
-            r = soft[: 2 * (m + 64)].reshape(m + 64, 2)
-            out = decode_blocks(gather_blocks(r, plan), cfg, plan)
+            out = decode_packed_xla(packed, cfg, plan)
         ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
                       .astype(jnp.int64))
-        return jnp.sum(out.view(jnp.int32)), ben
+        # single fetched array -> exactly one dispatch+fetch round trip
+        # (the calibrated floor is one round trip)
+        return jnp.stack([jnp.sum(out.view(jnp.int32)).astype(jnp.int64),
+                          ben])
 
     @jax.jit
     def null_sum(packed):
@@ -95,14 +94,16 @@ def main():
 
     _log(f"staging workloads (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
+    # 4 distinct workloads: the relay memoizes identical dispatches, so every
+    # *timed* decode below must be a first-seen dispatch
     workloads = [jax.block_until_ready(make_workload(jax.random.PRNGKey(i)))
-                 for i in (42, 43)]
+                 for i in (42, 43, 44, 45)]
     _log("workloads staged; calibrating floor")
 
     np.asarray(null_sum(workloads[0][0]))
     floors = []
     for i in range(4):
-        w = workloads[i % 2][0]
+        w = workloads[i % len(workloads)][0]
         t0 = time.perf_counter()
         np.asarray(null_sum(w))
         floors.append(time.perf_counter() - t0)
@@ -110,18 +111,17 @@ def main():
 
     _log(f"floor={floor*1e3:.1f} ms; compiling decode")
     # compile + first run (also yields BEN for the correctness guard)
-    _, ben0 = decode_and_check(*workloads[0])
-    ben = int(np.asarray(ben0))
+    ben = int(np.asarray(decode_and_check(*workloads[0]))[1])
     ber = ben / m
     _log(f"decode compiled; BEN={ben}; timing")
 
     times = []
-    for i in range(4):
-        w = workloads[(i + 1) % 2]
+    for i in range(1, len(workloads)):    # fresh dispatches only
+        w = workloads[i]
         t0 = time.perf_counter()
-        s, b = decode_and_check(*w)
-        np.asarray(s), np.asarray(b)
+        np.asarray(decode_and_check(*w))
         times.append(time.perf_counter() - t0)
+    _log(f"times: {[f'{t*1e3:.0f}ms' for t in times]}")
     raw = min(times)
     kernel_s = max(raw - floor, 1e-9)
     gbps = m / kernel_s / 1e9

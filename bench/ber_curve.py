@@ -22,6 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# Quantizer scale per channel width, chosen so a unit-amplitude BPSK symbol
+# uses ~1/4 of the quantizer range (noise headroom ~4 sigma before clipping).
+# The reference driver's fixed scale=40000 (main.cpp:137) saturates every
+# soft format to full scale, collapsing soft-decision gain to hard-decision
+# performance — a driver quirk, not a capability; the decoder itself is
+# scale-agnostic, so the curve harness picks informative scales.
+def _default_scale(channel_in):
+    return {"HARD": 40000.0, "SOFT4": 4.0, "SOFT8": 32.0,
+            "SOFT16": 8192.0, "FP32": 4.0}[channel_in.name]
+
+
 def run_point(cfg, message_len, snr_db, seed, backend="auto"):
     import jax
     import jax.numpy as jnp
@@ -37,9 +48,8 @@ def run_point(cfg, message_len, snr_db, seed, backend="auto"):
     bits = random_bits(k1, message_len)
     coded = conv_encode(bits)
     noisy = add_awgn(k2, coded, snr_to_sigma(snr_db))
-    packed = np.asarray(quantize_and_pack(noisy, cfg.channel_in, 40000.0
-                                          if cfg.channel_in.name in ("HARD",)
-                                          else 32.0))
+    packed = np.asarray(quantize_and_pack(noisy, cfg.channel_in,
+                                          _default_scale(cfg.channel_in)))
     dec = ViterbiTPU(cfg, backend=backend)
     input_num = 2 * message_len
     out, _ = dec.run(packed, input_num, want_time=False)
@@ -63,7 +73,8 @@ def golden_point(cfg, message_len, snr_db, seed):
     bits = np.asarray(random_bits(k1, message_len))
     coded = conv_encode(jax.numpy.asarray(bits))
     noisy = add_awgn(k2, coded, snr_to_sigma(snr_db))
-    packed = np.asarray(quantize_and_pack(noisy, cfg.channel_in, 32.0))
+    packed = np.asarray(quantize_and_pack(noisy, cfg.channel_in,
+                                          _default_scale(cfg.channel_in)))
     r = unpack_to_soft_np(packed, cfg.channel_in)[
         : 2 * message_len].reshape(-1, 2).astype(np.int64)
     m = cfg.get_message_len(2 * message_len)
@@ -79,7 +90,9 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--num", type=int, default=2_000_000)
-    p.add_argument("--snrs", type=str, default="3,3.5,4,4.5,5,5.5,6,7,8")
+    # NB: this project's SNR convention is sigma = 10^(-SNR/5)
+    # (main.cpp:135): the BER waterfall sits around -1..+2 "dB"
+    p.add_argument("--snrs", type=str, default="-1,-0.5,0,0.5,1,1.5,2")
     p.add_argument("--configs", type=str,
                    default="h/b32,s4/b32,s8/b32,s16/b32,f/b32,s4/b16,s8/b16")
     p.add_argument("--seed", type=int, default=123)

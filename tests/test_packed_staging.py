@@ -51,6 +51,49 @@ def test_packed_staging_matches_soft_staging(rng, channel, message_len,
                                   np.asarray(ref)[..., :nb])
 
 
+@pytest.mark.parametrize("channel", CHANNELS)
+def test_decode_packed_xla_matches_gather_path(rng, channel):
+    """decode_packed_xla (production staging) must be bit-identical to the
+    readable gather_blocks + decode_blocks reference path."""
+    from tpu_viterbi.decoder.core_xla import (decode_blocks,
+                                              decode_packed_xla,
+                                              gather_blocks)
+    cfg = DecoderConfig(channel_in=channel)
+    message_len, dec_len = 608, 128
+    plan = plan_blocks(message_len, cfg.bits_per_pack, dec_len)
+    input_num = 2 * (message_len + cfg.extra_l + cfg.extra_r)
+    vals = rng.normal(size=(input_num,)).astype(np.float32) * 3.0
+    packed = quantize_and_pack(jnp.asarray(vals), channel, 1.0)
+
+    got = decode_packed_xla(packed, cfg, plan)
+
+    soft = unpack_to_soft(packed, channel)
+    r = soft[: 2 * (message_len + 64)].reshape(message_len + 64, 2)
+    want = decode_blocks(gather_blocks(r, plan), cfg, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("metric_name", ["M_B16", "M_FP16"])
+def test_decode_packed_xla_metric_dtypes(rng, metric_name):
+    from tpu_viterbi.config import Metric
+    from tpu_viterbi.decoder.core_xla import (decode_blocks,
+                                              decode_packed_xla,
+                                              gather_blocks)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT4,
+                        metric=getattr(Metric, metric_name))
+    message_len, dec_len = 512, 128
+    plan = plan_blocks(message_len, cfg.bits_per_pack, dec_len)
+    input_num = 2 * (message_len + cfg.extra_l + cfg.extra_r)
+    vals = rng.normal(size=(input_num,)).astype(np.float32) * 3.0
+    packed = quantize_and_pack(jnp.asarray(vals), cfg.channel_in, 1.0)
+
+    got = decode_packed_xla(packed, cfg, plan)
+    soft = unpack_to_soft(packed, cfg.channel_in)
+    r = soft[: 2 * (message_len + 64)].reshape(message_len + 64, 2)
+    want = decode_blocks(gather_blocks(r, plan), cfg, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_packed_staging_b16_packs(rng):
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8, decode_out=DecodeOut.O_B16)
     message_len, dec_len = 400, 96

@@ -61,6 +61,9 @@ def parse_args(argv=None):
                    help="output bits decoded per block")
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(the reference's -lineinfo/Nsight analog)")
     return p.parse_args(argv)
 
 
@@ -134,9 +137,16 @@ def main(argv=None) -> int:
         print(f"Computation Mode: {comp_pretty}")
         print()
 
-    ben, _, _ = run_pipeline(args.num, args.snr, cfg, verbose=args.verbose,
-                             seed=args.seed, dec_len=args.dec_len,
-                             backend=args.backend)
+    import contextlib
+    if args.profile:
+        import jax
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        ben, _, _ = run_pipeline(args.num, args.snr, cfg,
+                                 verbose=args.verbose, seed=args.seed,
+                                 dec_len=args.dec_len, backend=args.backend)
     ber = ben / args.num
 
     print("Pipeline executed.")

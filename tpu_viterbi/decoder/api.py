@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..chain.quantize import unpack_to_soft
 from ..config import ChannelIn, DecoderConfig
-from .core_xla import decode_blocks, gather_blocks, plan_blocks
+from .core_xla import decode_packed_xla, plan_blocks
 
 DEFAULT_DEC_LEN = 2048
 
@@ -62,20 +61,16 @@ class ViterbiTPU:
         cfg = self.config
         message_len = cfg.get_message_len(input_num)
         plan = plan_blocks(message_len, cfg.bits_per_pack, self.dec_len)
-        n_stages = message_len + 64  # last needed stage (getMessageLen bound)
         use_pallas = self._use_pallas(plan)
 
         @jax.jit
         def run(packed):
+            # word-granular staging end to end on both backends — no
+            # lane-padded soft intermediates (core_xla.stage_layout_packed)
             if use_pallas:
-                # word-granular staging end to end — no lane-padded soft
-                # intermediates (see core_pallas._stage_layout_packed)
                 from .core_pallas import decode_packed_pallas
                 return decode_packed_pallas(packed, cfg, plan)
-            soft = unpack_to_soft(packed, cfg.channel_in)
-            r = soft[: 2 * n_stages].reshape(n_stages, 2)
-            r_blocks = gather_blocks(r, plan)
-            return decode_blocks(r_blocks, cfg, plan)
+            return decode_packed_xla(packed, cfg, plan)
 
         return run, plan
 

@@ -101,6 +101,7 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     """One tile: rs_ref (n_packs, bpp, 2, LT) -> out_ref (n_emit, LT)."""
     lt = out_ref.shape[1]
     s0, s1 = _even_child_signs(jnp.float32 if is_float else jnp.int32)
+    same_sign = s0 == s1                        # (32, 1) constant mask
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
 
     def pack_body(p, carry):
@@ -113,7 +114,14 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
             if is_float:
                 bm = jnp.trunc(r0 * s0 + r1 * s1).astype(jnp.int32)
             else:
-                bm = r0 * s0 + r1 * s1          # (32, LT)
+                # bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two
+                # values +-(r0+r1), +-(r0-r1) exist — one (1,LT) add/sub
+                # pair + a constant-mask select + one sign multiply beats
+                # two (32,LT) multiplies (cf. the reference's 4-entry
+                # branchMetric ring, viterbiBM.cuh:178-185)
+                u = r0 + r1                     # (1, LT)
+                d = r0 - r1
+                bm = jnp.where(same_sign, u, d) * s0
             lo, hi = pm[:32], pm[32:]
             c0e = lo + bm
             c1e = hi - bm
@@ -125,9 +133,15 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
             o_new = jnp.where(dec_o, c1o, c0o)
             pm = _recombine(e_new, o_new)
 
+            # register exchange: both children choose between the same two
+            # premultiplied candidates 2*pl (decision bit 0) and 2*ph|1
+            # (decision bit 1) — 3 shared ops + 2 selects instead of
+            # per-child select+shift+or
             pl_, ph_ = pp[:32], pp[32:]
-            pe = (jnp.where(dec_e, ph_, pl_) << 1) | dec_e.astype(jnp.int32)
-            po = (jnp.where(dec_o, ph_, pl_) << 1) | dec_o.astype(jnp.int32)
+            from_lo = pl_ + pl_
+            from_hi = ph_ + ph_ + 1
+            pe = jnp.where(dec_e, from_hi, from_lo)
+            po = jnp.where(dec_o, from_hi, from_lo)
             pp = _recombine(pe, po)
             return pm, pp
 
@@ -249,65 +263,9 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
     return _run_kernel(rs, cfg, plan, lane_tile)
 
 
-def _stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
-                         plan: BlockPlan, b_pad: int) -> jnp.ndarray:
-    """Packed channel words -> (n_packs, bpp, 2, b_pad) staged stages,
-    with every intermediate keeping a lane-friendly minor dimension.
-
-    The block split (body reshape + shifted halo view + last-block patch)
-    happens at *word* granularity — 1/dpp of the soft-value traffic — and
-    the word->value unpack runs after the (Lw, B) transpose so its dpp axis
-    sits between two big dimensions instead of being a tiny minor dim (a
-    (N, dpp) unpack layout pads dpp to 128 lanes: ~8 GB of padding at the
-    reference's 32M-bit default workload).  FP32 channel values are treated
-    as width-32 one-value words (no unpack, clamp only —
-    viterbiBM.cuh:139-151 semantics)."""
-    is_float = cfg.channel_in == ChannelIn.FP32
-    dpp = 1 if is_float else cfg.enc_data_per_pack
-    width = cfg.enc_data_width
-    dl, B = plan.dec_len, plan.num_blocks
-    wpb = 2 * dl // dpp                 # body words per block
-    wph = 2 * WARMUP // dpp             # halo words per block
-    Lw = wpb + wph
-
-    need = B * wpb + wph
-    if packed.shape[0] < need:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
-
-    body = packed[: B * wpb].reshape(B, wpb)
-    halo_src = jnp.concatenate(
-        [packed[wpb:], jnp.zeros((wpb,), packed.dtype)])
-    halo = halo_src[: B * wpb].reshape(B, wpb)[:, :wph]
-    blocks = jnp.concatenate([body, halo], axis=1)          # (B, Lw)
-
-    if B > 1 and plan.overlap_bits:
-        start_w = 2 * (plan.message_len - dl) // dpp
-        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
-        blocks = blocks.at[B - 1].set(last)
-
-    if b_pad > B:
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((b_pad - B, Lw), packed.dtype)], axis=0)
-
-    wt = blocks.transpose(1, 0)                             # (Lw, b_pad)
-
-    if is_float:
-        lo = -(1 << (FP_PRECISION - 1))
-        hi = (1 << (FP_PRECISION - 1)) - 1
-        vals = jnp.clip(wt, lo, hi)[:, None, :]
-    else:
-        u = wt.view(jnp.uint32)
-        shifts = jnp.arange(dpp - 1, -1, -1, dtype=jnp.uint32)[None, :, None]
-        vals = ((u[:, None, :] >> (shifts * width))
-                & jnp.uint32((1 << width) - 1)).astype(jnp.int32)
-        if cfg.channel_in == ChannelIn.HARD:
-            vals = vals * 2 - 1
-        elif width < 32:
-            half = 1 << (width - 1)
-            vals = ((vals + half) & ((1 << width) - 1)) - half
-
-    return vals.reshape(plan.n_packs, plan.bits_per_pack, 2, b_pad)
+# word-granular staging lives in core_xla (backend-agnostic); re-exported
+# here under its historical name
+from .core_xla import stage_layout_packed as _stage_layout_packed  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))

@@ -100,10 +100,77 @@ def plan_blocks(message_len: int, bits_per_pack: int,
 
 def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
     """Global (S, 2) soft stage pairs -> (B, L, 2) per-block views (with the
-    extra_l/extra_r halo materialized by overlapping slices)."""
+    extra_l/extra_r halo materialized by overlapping slices).
+
+    NOTE: XLA index gathers are slow on TPU and the (B, L, 2) layout keeps a
+    2-wide minor dim that pads to 128 lanes; this path is kept as the
+    readable reference / small-scale fallback — production entry points use
+    stage_layout_packed below."""
     offs = jnp.asarray(plan.offsets())
     idx = offs[:, None] + jnp.arange(plan.block_len, dtype=jnp.int32)[None, :]
     return r[idx]
+
+
+def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
+                        plan: BlockPlan, b_pad: int) -> jnp.ndarray:
+    """Packed channel words -> (n_packs, bpp, 2, b_pad) scan-major staged
+    stages, with every intermediate keeping a lane-friendly minor dimension.
+
+    The block split (body reshape + shifted halo view + last-block patch)
+    happens at *word* granularity — 1/dpp of the soft-value traffic — and
+    the word->value unpack runs after the (Lw, B) transpose so its dpp axis
+    sits between two big dimensions instead of being a tiny minor dim (a
+    (N, dpp) unpack layout pads dpp to 128 lanes: ~8 GB of padding at the
+    reference's 32M-bit default workload).  FP32 channel values are treated
+    as width-32 one-value words (no unpack, clamp only —
+    viterbiBM.cuh:139-151 semantics)."""
+    from ..config import FP_PRECISION
+    is_float = cfg.channel_in == ChannelIn.FP32
+    dpp = 1 if is_float else cfg.enc_data_per_pack
+    width = cfg.enc_data_width
+    dl, B = plan.dec_len, plan.num_blocks
+    wpb = 2 * dl // dpp                 # body words per block
+    wph = 2 * WARMUP // dpp             # halo words per block
+    Lw = wpb + wph
+
+    need = B * wpb + wph
+    if packed.shape[0] < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
+
+    body = packed[: B * wpb].reshape(B, wpb)
+    halo_src = jnp.concatenate(
+        [packed[wpb:], jnp.zeros((wpb,), packed.dtype)])
+    halo = halo_src[: B * wpb].reshape(B, wpb)[:, :wph]
+    blocks = jnp.concatenate([body, halo], axis=1)          # (B, Lw)
+
+    if B > 1 and plan.overlap_bits:
+        start_w = 2 * (plan.message_len - dl) // dpp
+        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
+        blocks = blocks.at[B - 1].set(last)
+
+    if b_pad > B:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((b_pad - B, Lw), packed.dtype)], axis=0)
+
+    wt = blocks.transpose(1, 0)                             # (Lw, b_pad)
+
+    if is_float:
+        lo = -(1 << (FP_PRECISION - 1))
+        hi = (1 << (FP_PRECISION - 1)) - 1
+        vals = jnp.clip(wt, lo, hi)[:, None, :]
+    else:
+        u = wt.view(jnp.uint32)
+        shifts = jnp.arange(dpp - 1, -1, -1, dtype=jnp.uint32)[None, :, None]
+        vals = ((u[:, None, :] >> (shifts * width))
+                & jnp.uint32((1 << width) - 1)).astype(jnp.int32)
+        if cfg.channel_in == ChannelIn.HARD:
+            vals = vals * 2 - 1
+        elif width < 32:
+            half = 1 << (width - 1)
+            vals = ((vals + half) & ((1 << width) - 1)) - half
+
+    return vals.reshape(plan.n_packs, plan.bits_per_pack, 2, b_pad)
 
 
 # BPSK sign of each expected coded bit on the j=0 branch, per state:
@@ -173,14 +240,22 @@ def forward_scan(r_blocks: jnp.ndarray, cfg: DecoderConfig,
                  plan: BlockPlan) -> jnp.ndarray:
     """ACS over all stages for all blocks.  r_blocks: (B, L, 2) soft values.
     Returns survivor packs (n_packs, 64, B) uint32."""
-    B, L, _ = r_blocks.shape
-    bpp = plan.bits_per_pack
-    n_packs = plan.n_packs
-    mdtype = metric_dtype(cfg.metric)
-    do_renorm = cfg.metric in (Metric.M_B16, Metric.M_FP16)
-
     # scan-major layout: (n_packs, bpp, 2, B)
-    rs = r_blocks.transpose(1, 2, 0).reshape(n_packs, bpp, 2, B)
+    rs = r_blocks.transpose(1, 2, 0).reshape(plan.n_packs,
+                                             plan.bits_per_pack, 2,
+                                             r_blocks.shape[0])
+    return forward_scan_staged(rs, cfg, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def forward_scan_staged(rs: jnp.ndarray, cfg: DecoderConfig,
+                        plan: BlockPlan) -> jnp.ndarray:
+    """ACS from the scan-major (n_packs, bpp, 2, B) stage layout (the
+    output of stage_layout_packed).  Returns (n_packs, 64, B) uint32."""
+    B = rs.shape[3]
+    bpp = plan.bits_per_pack
+    do_renorm = cfg.metric in (Metric.M_B16, Metric.M_FP16)
+    mdtype = metric_dtype(cfg.metric)
 
     pm0 = jnp.zeros((NUM_STATES, B), dtype=mdtype)
     pp0 = jnp.zeros((NUM_STATES, B), dtype=jnp.uint32)
@@ -262,5 +337,20 @@ def decode_blocks(r_blocks: jnp.ndarray, cfg: DecoderConfig,
                   plan: BlockPlan) -> jnp.ndarray:
     """Full block-parallel decode: (B, L, 2) soft values -> packed words."""
     surv = forward_scan(r_blocks, cfg, plan)
+    out_packs = traceback_scan(surv, cfg, plan)
+    return assemble_output(out_packs, cfg, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def decode_packed_xla(packed: jnp.ndarray, cfg: DecoderConfig,
+                      plan: BlockPlan) -> jnp.ndarray:
+    """Full decode straight from packed channel words on the XLA scan core
+    (production fallback for configs the Pallas kernel doesn't cover, e.g.
+    int16/fp16 metrics).  Word-granular staging keeps every intermediate
+    lane-friendly at 32M-bit scale."""
+    is_float = cfg.channel_in == ChannelIn.FP32
+    packed = packed.astype(jnp.float32 if is_float else jnp.int32)
+    rs = stage_layout_packed(packed, cfg, plan, plan.num_blocks)
+    surv = forward_scan_staged(rs, cfg, plan)
     out_packs = traceback_scan(surv, cfg, plan)
     return assemble_output(out_packs, cfg, plan)

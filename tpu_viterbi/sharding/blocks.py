@@ -24,10 +24,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..chain.quantize import unpack_to_soft
 from ..config import ChannelIn, DecoderConfig
-from ..decoder.core_xla import (WARMUP, decode_blocks, gather_blocks,
-                                plan_blocks)
+from ..decoder.core_xla import WARMUP, decode_packed_xla, plan_blocks
 from .mesh import BLOCK_AXIS
 
 
@@ -76,14 +74,11 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     def local_decode(words_local):
         halo = jax.lax.ppermute(words_local[:halo_words], BLOCK_AXIS, perm)
         words_full = jnp.concatenate([words_local, halo])
+        # word-granular staging end to end on both backends (no lane-padded
+        # soft intermediates — see core_xla.stage_layout_packed)
         if use_pallas:
-            # word-granular staging end to end (no lane-padded soft
-            # intermediates — see core_pallas._stage_layout_packed)
             return decode_packed_pallas(words_full, cfg, plan)
-        soft = unpack_to_soft(words_full, cfg.channel_in)
-        r_full = soft[: 2 * (sd + WARMUP)].reshape(sd + WARMUP, 2)
-        r_blocks = gather_blocks(r_full, plan)
-        return decode_blocks(r_blocks, cfg, plan)
+        return decode_packed_xla(words_full, cfg, plan)
 
     # check_vma=False: the decoder's zero-initialized scan carries are
     # unvarying over the mesh axis by construction; axis-varying inference
