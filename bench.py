@@ -15,8 +15,8 @@ adds a fixed dispatch+fetch latency (~33 ms) and memoizes identical
 dispatches, and bulk host<->device transfer is slow.  Therefore the
 workload is generated on device, the BER check runs on device
 (XOR + population_count against the repacked ground truth), only scalars
-cross the wire, inputs differ per timed call, and a null-dispatch floor is
-subtracted.
+cross the wire, inputs differ per timed call, and the fluctuating
+dispatch+fetch floor is cancelled by a full-vs-half-size slope.
 """
 
 import json
@@ -50,80 +50,87 @@ def main():
     snr_db = 5.5
     sigma = float(10.0 ** (-snr_db / 5.0))
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    input_num = 2 * message_len
-    m = cfg.get_message_len(input_num)
-    plan = plan_blocks(m, cfg.bits_per_pack, 2048)
+
+    def setup(msg_len):
+        input_num = 2 * msg_len
+        m = cfg.get_message_len(input_num)
+        plan = plan_blocks(m, cfg.bits_per_pack, 2048)
+
+        @jax.jit
+        def make_workload(key):
+            """-> (packed channel words, ground-truth output words)."""
+            k1, k2 = jax.random.split(key)
+            bits = random_bits(k1, msg_len)
+            coded = conv_encode(bits)
+            noisy = add_awgn(k2, coded, sigma)
+            packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
+            # reference-truth words: bits[extra_l:extra_l+m], MSB-first packs
+            from tpu_viterbi.chain.quantize import pack_words
+            ref_words = pack_words(
+                bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
+            return packed, ref_words
+
+        @jax.jit
+        def decode_and_check(packed, ref_words):
+            if use_pallas:
+                out = decode_packed_pallas(packed, cfg, plan)
+            else:
+                out = decode_packed_xla(packed, cfg, plan)
+            ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
+                          .astype(jnp.int64))
+            # one fetched array -> exactly one dispatch+fetch round trip
+            return jnp.stack([jnp.sum(out.view(jnp.int32)).astype(jnp.int64),
+                              ben])
+
+        return m, make_workload, decode_and_check
 
     try:
         from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
                                                      pallas_supported)
-        use_pallas = pallas_supported(cfg, plan)
+        use_pallas = pallas_supported(
+            cfg, plan_blocks(cfg.get_message_len(2 * message_len),
+                             cfg.bits_per_pack, 2048))
     except Exception:
         use_pallas = False
 
-    @jax.jit
-    def make_workload(key):
-        """-> (packed channel words, ground-truth output words)."""
-        k1, k2 = jax.random.split(key)
-        bits = random_bits(k1, message_len)
-        coded = conv_encode(bits)
-        noisy = add_awgn(k2, coded, sigma)
-        packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
-        # reference-truth words: bits[extra_l : extra_l+m], MSB-first packs
-        from tpu_viterbi.chain.quantize import pack_words
-        ref_words = pack_words(
-            bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
-        return packed, ref_words
-
-    @jax.jit
-    def decode_and_check(packed, ref_words):
-        if use_pallas:
-            out = decode_packed_pallas(packed, cfg, plan)
-        else:
-            out = decode_packed_xla(packed, cfg, plan)
-        ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
-                      .astype(jnp.int64))
-        # single fetched array -> exactly one dispatch+fetch round trip
-        # (the calibrated floor is one round trip)
-        return jnp.stack([jnp.sum(out.view(jnp.int32)).astype(jnp.int64),
-                          ben])
-
-    @jax.jit
-    def null_sum(packed):
-        return jnp.sum(packed[:128])
+    # Slope methodology: time full decodes at m and m/2 and take the
+    # difference, which cancels the relay's dispatch+fetch floor exactly
+    # (the floor fluctuates +-8 ms run to run and swamps plain floor
+    # subtraction).  Decode cost is linear in message length (block-
+    # parallel over equal-size blocks), so kernel_s(m) = 2 * (t_m - t_m/2).
+    # Peak HBM stays at a single decode, which k>=2 multi-decode dispatches
+    # exceed at 32M bits on this backend.
+    m, make_full, decode_full = setup(message_len)
+    m_h, make_half, decode_half = setup(message_len // 2)
 
     _log(f"staging workloads (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
-    # 4 distinct workloads: the relay memoizes identical dispatches, so every
-    # *timed* decode below must be a first-seen dispatch
-    workloads = [jax.block_until_ready(make_workload(jax.random.PRNGKey(i)))
-                 for i in (42, 43, 44, 45)]
-    _log("workloads staged; calibrating floor")
+    # distinct workloads: the relay memoizes identical dispatches, so every
+    # *timed* dispatch below must be first-seen
+    fulls = [jax.block_until_ready(make_full(jax.random.PRNGKey(i)))
+             for i in (42, 43, 44)]
+    halves = [jax.block_until_ready(make_half(jax.random.PRNGKey(i)))
+              for i in (52, 53, 54)]
+    _log("workloads staged; compiling decode")
 
-    np.asarray(null_sum(workloads[0][0]))
-    floors = []
-    for i in range(4):
-        w = workloads[i % len(workloads)][0]
-        t0 = time.perf_counter()
-        np.asarray(null_sum(w))
-        floors.append(time.perf_counter() - t0)
-    floor = min(floors)
-
-    _log(f"floor={floor*1e3:.1f} ms; compiling decode")
     # compile + first run (also yields BEN for the correctness guard)
-    ben = int(np.asarray(decode_and_check(*workloads[0]))[1])
+    ben = int(np.asarray(decode_full(*fulls[0]))[1])
+    np.asarray(decode_half(*halves[0]))
     ber = ben / m
     _log(f"decode compiled; BEN={ben}; timing")
 
-    times = []
-    for i in range(1, len(workloads)):    # fresh dispatches only
-        w = workloads[i]
+    tf, th = [], []
+    for j in (1, 2):
         t0 = time.perf_counter()
-        np.asarray(decode_and_check(*w))
-        times.append(time.perf_counter() - t0)
-    _log(f"times: {[f'{t*1e3:.0f}ms' for t in times]}")
-    raw = min(times)
-    kernel_s = max(raw - floor, 1e-9)
+        np.asarray(decode_full(*fulls[j]))
+        tf.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(decode_half(*halves[j]))
+        th.append(time.perf_counter() - t0)
+    _log(f"t_full: {[f'{t*1e3:.0f}ms' for t in tf]}  "
+         f"t_half: {[f'{t*1e3:.0f}ms' for t in th]}")
+    raw = min(tf)
+    kernel_s = max(2 * (min(tf) - min(th)), 1e-9)
     gbps = m / kernel_s / 1e9
 
     if ber > 1e-2:
@@ -139,8 +146,7 @@ def main():
         "vs_baseline": round(gbps / BASELINE_GBPS, 4),
         "message_len": message_len,
         "kernel_seconds": round(kernel_s, 6),
-        "raw_seconds": round(raw, 6),
-        "dispatch_floor_seconds": round(floor, 6),
+        "single_dispatch_seconds": round(raw, 6),
         "ber_at_5p5dB": ber,
         "backend": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),

@@ -63,7 +63,7 @@ def main():
     xs = [gen(jax.random.PRNGKey(i)) for i in range(4)]
     np.asarray(sum(jnp.sum(x[:8]) for x in xs))
     log("inputs staged")
-    for lt, dl in [(128, 6144), (128, 8192), (128, 4096)]:
+    for lt, dl in [(256, 2048), (512, 2048), (128, 4096), (256, 4096)]:
         run_config(cfg, xs, lt, dl)
 
 

@@ -64,28 +64,33 @@ def time_32m():
         core_pallas._run_kernel(rs, cfg, plan, lt).view(jnp.int32)))
     nul = jax.jit(lambda rs: jnp.sum(rs[0, 0, 0]))
 
-    rss = [stage(gen(jax.random.PRNGKey(i))) for i in range(4)]
+    # slope methodology: one dispatch runs the kernel k times on distinct
+    # staged inputs; (t_k5 - t_k1)/4 cancels the relay dispatch floor, which
+    # fluctuates by +-8 ms and swamps plain floor subtraction
+    def kmulti(*rs):
+        return sum(jnp.sum(core_pallas._run_kernel(r, cfg, plan, lt)
+                           .view(jnp.int32)) for r in rs)
+    k1 = jax.jit(kmulti)
+    k5 = jax.jit(kmulti)
+
+    rss = [stage(gen(jax.random.PRNGKey(i))) for i in range(8)]
     np.asarray(sum(jnp.sum(r[0, 0]) for r in rss))
     log("inputs staged")
 
-    np.asarray(nul(rss[0]))
-    floors = []
-    for r in rss:
+    np.asarray(k1(rss[0]))                     # compile
+    np.asarray(k5(*rss[:5]))
+    t1s, t5s = [], []
+    for j in range(4):
         t0 = time.perf_counter()
-        np.asarray(nul(r))
-        floors.append(time.perf_counter() - t0)
-    floor = min(floors)
-    log(f"floor={floor*1e3:.1f}ms")
-
-    np.asarray(kern(rss[0]))  # compile
-    ts = []
-    for r in rss[1:]:
+        np.asarray(k1(rss[(j + 1) % 8]))
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(kern(r))
-        ts.append(time.perf_counter() - t0)
-    t = min(ts) - floor
-    log(f"kernel 32M: raw={[f'{x*1e3:.0f}ms' for x in ts]} floor-adj="
-        f"{t*1e3:.1f}ms -> {m/t/1e9:.2f} Gb/s  "
+        np.asarray(k5(*(rss[(j + i + 2) % 8] for i in range(5))))
+        t5s.append(time.perf_counter() - t0)
+    t = (min(t5s) - min(t1s)) / 4
+    log(f"kernel 32M: t1={[f'{x*1e3:.0f}' for x in t1s]} "
+        f"t5={[f'{x*1e3:.0f}' for x in t5s]} -> {t*1e3:.1f}ms = "
+        f"{m/t/1e9:.2f} Gb/s  "
         f"({t*1e9/(b_pad//lt)/plan.n_packs/32:.0f} ns/stage/tile)")
 
 

@@ -16,7 +16,7 @@ tile of 128 time-blocks end to end:
                    the 64-state sublane axis (cf. viterbiTB.cuh:4-21)
 
 ACS formulation (chosen from measured Mosaic lowering costs — see
-scripts/acs_variants_bench.py):
+scripts/acs_variants_bench.py and scripts/op_cost_probe.py):
 
   *Even/odd half-space ACS.*  Both generator polynomials tap the newest bit
   b_t and the dropped bit b_{t-6} (bits 6 and 0 of 0o171/0o133), so flipping
@@ -27,12 +27,20 @@ scripts/acs_variants_bench.py):
       E'[q] = max(L[q] + bm[q], H[q] - bm[q])      (child 2q)
       O'[q] = max(L[q] - bm[q], H[q] + bm[q])      (child 2q+1)
 
-  where L = pm[:32], H = pm[32:] are *free contiguous slices*.  The only
-  shuffle left is re-merging (E', O') into natural state order, which Mosaic
-  lowers efficiently as stack+reshape — measured ~0 ns/stage vs ~420 ns/stage
-  for the naive per-row repeat gathers (the butterfly-equivalent).  This is
+  where L, H are contiguous row slices of the state vector.
+
+  *Rotating layout.*  Re-interleaving (E', O') into natural state order
+  every stage is a sublane relayout — the single most expensive construct
+  in the stage body (scripts/op_cost_probe.py: ~34 ns as stack+reshape,
+  ~9 ns as 1-row slice concats, vs ~1 ns for an ALU op).  Instead the
+  children are written as plain contiguous halves [E'; O'] (free) and the
+  layout is *tracked* (_group_schedule): the predecessor-pair split walks
+  down position bits, so reads stay coarse contiguous slices
+  (32/16/8/4-row), and only every GROUP_LEN-th stage pays a 1-row
+  permutation write that lands the vector back in natural order.  This is
   the TPU replacement for the reference's __shfl_xor_sync butterfly network
-  and 6-cycle shuffle-exchange layout (viterbiACS.cuh:418-480).
+  and 6-cycle shuffle-exchange layout (viterbiACS.cuh:418-480); measured
+  89 -> 27 ns/stage per 128-block tile end to end.
 
 Supported configs (v1): int32 metrics (M_B32), both pack widths, all
 channels.  Other metric dtypes fall back to the XLA scan core.
@@ -73,56 +81,155 @@ def _parity(v):
     return v & 1
 
 
-def _even_child_signs(dtype):
-    """(32, 1) signs (s0, s1) of the expected coded bits for the j=0 branch
-    into even child state 2q, q = row index.  Odd child and j=1 metrics are
-    negations (see module docstring)."""
-    q = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    w = 2 * q                                   # window of (state=2q, j=0)
-    s0 = 2 * _parity(w & _TAP_MASK0) - 1
-    s1 = 2 * _parity(w & _TAP_MASK1) - 1
-    return s0.astype(dtype), s1.astype(dtype)
+# ---------------------------------------------------------------------------
+# Rotating-layout ACS schedule (GROUP_LEN consecutive stages per layout cycle)
+#
+# The per-stage interleave back to natural state order is the kernel's most
+# expensive construct (sublane relayout, scripts/op_cost_probe.py).  Instead
+# of recombining every stage, children are written as plain contiguous
+# halves [E; O] (free) and the *layout* is tracked: the predecessor-pair
+# split then walks down position bits (32/16/8/4-row slices — concats of
+# coarse contiguous slices are ~free), and only the last stage of each
+# group pays a 1-row permutation write that lands the state vector back in
+# natural order.  This is the TPU analog of the reference's 6-cycle
+# shuffle-exchange layout (viterbiACS.cuh:461-480, stageToState :382-389),
+# with GROUP_LEN=4 chosen so bpp (16/32) is a multiple of the cycle and the
+# survivor dumps stay natural-order.
+# ---------------------------------------------------------------------------
+
+GROUP_LEN = 4
 
 
-def _merge(a, b):
-    """Row interleave [a0,b0,a1,b1,...] — Mosaic lowers stack+reshape well."""
-    h, w = a.shape
-    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
+def _np_parity(v):
+    v = np.asarray(v)
+    v = v ^ (v >> 4)
+    v = v ^ (v >> 2)
+    v = v ^ (v >> 1)
+    return v & 1
 
 
-def _recombine(e, o):
-    """(E', O') children -> natural state order (64, B)."""
-    return jnp.concatenate([_merge(e[:16], o[:16]),
-                            _merge(e[16:], o[16:])], axis=0)
+def _runs(rows):
+    """Ascending row indices -> [(start, len), ...] contiguous runs."""
+    runs = []
+    for r in rows:
+        if runs and runs[-1][0] + runs[-1][1] == r:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((int(r), 1))
+    return runs
+
+
+@functools.lru_cache()
+def _group_schedule():
+    """Static per-stage specs for one GROUP_LEN-stage layout cycle.
+
+    Returns a list of (runs_lo, runs_hi, bitperm, write) where
+      runs_lo/hi : contiguous (start, len) row slices of the current state
+                   vector holding predecessors q / q+32, in matching q order
+      bitperm    : [(a, b), ...] such that the predecessor index of sliced
+                   row i is q = OR_j ((i >> a_j) & 1) << b_j — used to build
+                   the stage's +-1 sign constants from an in-kernel iota
+                   (Pallas kernels cannot capture array constants)
+      write      : None (write [E; O] halves, layout keeps rotating) or a
+                   [(src, start, len), ...] run list (src 0=even child rows,
+                   1=odd) that permutes the children straight back to
+                   natural state order
+    """
+    state = np.arange(NUM_STATES)
+    stages = []
+    for t in range(GROUP_LEN):
+        mask_lo = state < 32
+        rows_lo = np.nonzero(mask_lo)[0]
+        rows_hi = np.nonzero(~mask_lo)[0]
+        q_lo = state[rows_lo]
+        q_hi = state[rows_hi] - 32
+        assert np.array_equal(q_lo, q_hi), "pair order mismatch"
+        bitperm = []
+        for a in range(5):
+            b = int(q_lo[1 << a]).bit_length() - 1
+            bitperm.append((a, b))
+        for i in range(32):                     # verify it IS a bit-perm
+            q = 0
+            for a, b in bitperm:
+                q |= ((i >> a) & 1) << b
+            assert q == q_lo[i], "q_lo not a bit permutation"
+        if t < GROUP_LEN - 1:
+            write = None
+            state = np.concatenate([2 * q_lo, 2 * q_lo + 1])
+        else:
+            pos_of_q = {int(q): i for i, q in enumerate(q_lo)}
+            order = [(s & 1, pos_of_q[s >> 1]) for s in range(NUM_STATES)]
+            write = []
+            for src, row in order:
+                if write and write[-1][0] == src and \
+                        write[-1][1] + write[-1][2] == row:
+                    write[-1] = (src, write[-1][1], write[-1][2] + 1)
+                else:
+                    write.append((src, row, 1))
+            state = np.arange(NUM_STATES)
+        stages.append((_runs(rows_lo), _runs(rows_hi), tuple(bitperm),
+                       write))
+    assert np.array_equal(state, np.arange(NUM_STATES))
+    return stages
+
+
+def _slice_cat(x, runs):
+    parts = [x[a:a + n] for a, n in runs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _write_cat(e, o, write):
+    srcs = (e, o)
+    return jnp.concatenate([srcs[s][a:a + n] for s, a, n in write], axis=0)
 
 
 def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
                     n_emit, is_float):
     """One tile: rs_ref (n_packs, bpp, 2, LT) -> out_ref (n_emit, LT)."""
     lt = out_ref.shape[1]
-    s0, s1 = _even_child_signs(jnp.float32 if is_float else jnp.int32)
-    same_sign = s0 == s1                        # (32, 1) constant mask
+    assert bpp % GROUP_LEN == 0
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
+    dtype = jnp.float32 if is_float else jnp.int32
+
+    # per-stage-in-group +-1 sign constants, rebuilt from iota under each
+    # stage's predecessor bit-permutation (hoisted out of the pack loop)
+    sched = _group_schedule()
+    consts = []
+    i32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    for runs_lo, runs_hi, bitperm, write in sched:
+        q = jnp.zeros_like(i32)
+        for a, b in bitperm:
+            q = q | (((i32 >> a) & 1) << b)
+        w = 2 * q
+        s0 = (2 * _parity(w & _TAP_MASK0) - 1).astype(dtype)
+        s1 = (2 * _parity(w & _TAP_MASK1) - 1).astype(dtype)
+        consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
 
     def pack_body(p, carry):
         pm, pp = carry
+        # bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two values
+        # +-(r0+r1), +-(r0-r1) exist per stage (cf. the reference's
+        # 4-entry branchMetric ring, viterbiBM.cuh:178-185) — compute
+        # the whole pack's u/d in two (bpp, LT) ops up front; per-stage
+        # (2, LT) VMEM loads measured ~12 ns/stage extra
+        rp = rs_ref[p]                          # (bpp, 2, LT)
+        u_all = rp[:, 0] + rp[:, 1]             # (bpp, LT)
+        d_all = rp[:, 0] - rp[:, 1]
 
         def run_stage(s, pm, pp):
-            rt = rs_ref[p, s]                   # (2, LT)
-            r0 = rt[0:1, :]
-            r1 = rt[1:2, :]
+            runs_lo, runs_hi, s0, s1, same_sign, write = \
+                consts[s % GROUP_LEN]
+            u = u_all[s:s + 1]                  # (1, LT)
+            d = d_all[s:s + 1]
             if is_float:
-                bm = jnp.trunc(r0 * s0 + r1 * s1).astype(jnp.int32)
+                # (u+d)/2 * s0 + (u-d)/2 * s1 == r0*s0 + r1*s1; with +-1
+                # signs this is u or d times the sign, like the int path
+                bm = jnp.trunc(jnp.where(same_sign, u, d) * s0) \
+                    .astype(jnp.int32)
             else:
-                # bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two
-                # values +-(r0+r1), +-(r0-r1) exist — one (1,LT) add/sub
-                # pair + a constant-mask select + one sign multiply beats
-                # two (32,LT) multiplies (cf. the reference's 4-entry
-                # branchMetric ring, viterbiBM.cuh:178-185)
-                u = r0 + r1                     # (1, LT)
-                d = r0 - r1
                 bm = jnp.where(same_sign, u, d) * s0
-            lo, hi = pm[:32], pm[32:]
+            lo = _slice_cat(pm, runs_lo)
+            hi = _slice_cat(pm, runs_hi)
             c0e = lo + bm
             c1e = hi - bm
             dec_e = c1e > c0e                   # tie -> j=0 (matches golden)
@@ -131,18 +238,24 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
             c1o = hi + bm
             dec_o = c1o > c0o
             o_new = jnp.where(dec_o, c1o, c0o)
-            pm = _recombine(e_new, o_new)
 
             # register exchange: both children choose between the same two
             # premultiplied candidates 2*pl (decision bit 0) and 2*ph|1
             # (decision bit 1) — 3 shared ops + 2 selects instead of
             # per-child select+shift+or
-            pl_, ph_ = pp[:32], pp[32:]
+            pl_ = _slice_cat(pp, runs_lo)
+            ph_ = _slice_cat(pp, runs_hi)
             from_lo = pl_ + pl_
             from_hi = ph_ + ph_ + 1
             pe = jnp.where(dec_e, from_hi, from_lo)
             po = jnp.where(dec_o, from_hi, from_lo)
-            pp = _recombine(pe, po)
+
+            if write is None:                   # layout keeps rotating
+                pm = jnp.concatenate([e_new, o_new], axis=0)
+                pp = jnp.concatenate([pe, po], axis=0)
+            else:                               # permute back to natural
+                pm = _write_cat(e_new, o_new, write)
+                pp = _write_cat(pe, po, write)
             return pm, pp
 
         for s in range(bpp):                    # static unroll
