@@ -103,32 +103,35 @@ def main():
     m, make_full, decode_full = setup(message_len)
     m_h, make_half, decode_half = setup(message_len // 2)
 
-    _log(f"staging workloads (m={m}, backend="
+    _log(f"compiling (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
-    # distinct workloads: the relay memoizes identical dispatches, so every
-    # *timed* dispatch below must be first-seen
-    fulls = [jax.block_until_ready(make_full(jax.random.PRNGKey(i)))
-             for i in (42, 43, 44)]
-    halves = [jax.block_until_ready(make_half(jax.random.PRNGKey(i)))
-              for i in (52, 53, 54)]
-    _log("workloads staged; compiling decode")
-
-    # compile + first run (also yields BEN for the correctness guard)
-    ben = int(np.asarray(decode_full(*fulls[0]))[1])
-    np.asarray(decode_half(*halves[0]))
+    # compile + first run (also yields BEN for the correctness guard);
+    # workloads are generated one at a time and dropped after use — the
+    # relay memoizes identical dispatches (every timed dispatch must be
+    # first-seen) and holding many 32M workloads exhausts device HBM
+    w = jax.block_until_ready(make_full(jax.random.PRNGKey(42)))
+    ben = int(np.asarray(decode_full(*w))[1])
+    del w
+    w = jax.block_until_ready(make_half(jax.random.PRNGKey(52)))
+    np.asarray(decode_half(*w))
+    del w
     ber = ben / m
     _log(f"decode compiled; BEN={ben}; timing")
 
     tf, th = [], []
-    for j in (1, 2):
+    for j in range(5):
+        w = jax.block_until_ready(make_full(jax.random.PRNGKey(43 + j)))
         t0 = time.perf_counter()
-        np.asarray(decode_full(*fulls[j]))
+        np.asarray(decode_full(*w))
         tf.append(time.perf_counter() - t0)
+        del w
+        w = jax.block_until_ready(make_half(jax.random.PRNGKey(53 + j)))
         t0 = time.perf_counter()
-        np.asarray(decode_half(*halves[j]))
+        np.asarray(decode_half(*w))
         th.append(time.perf_counter() - t0)
-    _log(f"t_full: {[f'{t*1e3:.0f}ms' for t in tf]}  "
-         f"t_half: {[f'{t*1e3:.0f}ms' for t in th]}")
+        del w
+    _log(f"t_full: {[f'{t*1e3:.1f}ms' for t in tf]}  "
+         f"t_half: {[f'{t*1e3:.1f}ms' for t in th]}")
     raw = min(tf)
     kernel_s = max(2 * (min(tf) - min(th)), 1e-9)
     gbps = m / kernel_s / 1e9

@@ -34,6 +34,16 @@ def golden_check():
     r = rng.integers(-100, 101, size=(m + 64, 2)).astype(np.int32)
     out = np.asarray(core_pallas.decode_blocks_pallas(
         jnp.asarray(r), cfg, plan))
+
+    # word-mode kernel path: pack the same soft values into SOFT8 words and
+    # decode straight from them — must agree bit for bit
+    from tpu_viterbi.chain.quantize import quantize_and_pack
+    packed = quantize_and_pack(
+        jnp.asarray(r.reshape(-1).astype(np.float32)), cfg.channel_in, 1.0)
+    out_w = np.asarray(core_pallas.decode_packed_pallas(packed, cfg, plan))
+    if not np.array_equal(out, out_w):
+        log("golden check: WORD-MODE MISMATCH")
+        return False
     bits = unpack_msb_first(out, cfg.bits_per_pack)
     bad = 0
     for k, off in enumerate(plan.offsets()):
@@ -58,8 +68,8 @@ def time_32m():
 
     gen = jax.jit(lambda k: jax.random.randint(
         k, (n_words,), -(2 ** 20), 2 ** 20, dtype=jnp.int32))
-    stage = jax.jit(
-        lambda x: core_pallas._stage_layout_packed(x, cfg, plan, b_pad))
+    stage = jax.jit(lambda x: core_pallas._stage_words(
+        x, cfg, plan, b_pad).reshape(plan.n_packs, -1, b_pad))
     kern = jax.jit(lambda rs: jnp.sum(
         core_pallas._run_kernel(rs, cfg, plan, lt).view(jnp.int32)))
     nul = jax.jit(lambda rs: jnp.sum(rs[0, 0, 0]))
@@ -74,7 +84,7 @@ def time_32m():
     k5 = jax.jit(kmulti)
 
     rss = [stage(gen(jax.random.PRNGKey(i))) for i in range(8)]
-    np.asarray(sum(jnp.sum(r[0, 0]) for r in rss))
+    np.asarray(sum(jnp.sum(r[0]) for r in rss))
     log("inputs staged")
 
     np.asarray(k1(rss[0]))                     # compile

@@ -184,8 +184,10 @@ def _write_cat(e, o, write):
 
 
 def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
-                    n_emit, is_float):
-    """One tile: rs_ref (n_packs, bpp, 2, LT) -> out_ref (n_emit, LT)."""
+                    n_emit, is_float, vpw=None, width=None):
+    """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
+    staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
+    channel words unpacked in-kernel (word mode, vpw = values per word)."""
     lt = out_ref.shape[1]
     assert bpp % GROUP_LEN == 0
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
@@ -210,17 +212,40 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         # bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two values
         # +-(r0+r1), +-(r0-r1) exist per stage (cf. the reference's
         # 4-entry branchMetric ring, viterbiBM.cuh:178-185) — compute
-        # the whole pack's u/d in two (bpp, LT) ops up front; per-stage
-        # (2, LT) VMEM loads measured ~12 ns/stage extra
-        rp = rs_ref[p]                          # (bpp, 2, LT)
-        u_all = rp[:, 0] + rp[:, 1]             # (bpp, LT)
-        d_all = rp[:, 0] - rp[:, 1]
+        # the whole pack's u/d up front; per-stage (2, LT) VMEM loads
+        # measured ~12 ns/stage extra
+        if vpw is None:                         # value mode: (bpp, 2, LT)
+            rp = rs_ref[p]
+            u_all = rp[:, 0] + rp[:, 1]         # (bpp, LT)
+            d_all = rp[:, 0] - rp[:, 1]
+        else:
+            # word mode: (wpp, LT) packed channel words (MSB = earliest,
+            # viterbiDF.h:157-163); the unpack is ~10 cheap (wpp, LT) ops
+            # per pack, vs staging sign-extended values in HBM (4x the
+            # input traffic at SOFT8)
+            wv = rs_ref[p]                      # (wpp, LT) int32
+            ppw = vpw // 2                      # stage-pairs per word
+            u_js, d_js = [], []
+            for j in range(ppw):
+                if width == 1:                  # HARD: bit -> +-1
+                    a0 = ((wv >> (31 - 2 * j)) & 1) * 2 - 1
+                    a1 = ((wv >> (30 - 2 * j)) & 1) * 2 - 1
+                else:                           # two's-complement field
+                    a0 = (wv << (2 * j * width)) >> (32 - width)
+                    a1 = (wv << ((2 * j + 1) * width)) >> (32 - width)
+                u_js.append(a0 + a1)            # (wpp, LT)
+                d_js.append(a0 - a1)
 
         def run_stage(s, pm, pp):
             runs_lo, runs_hi, s0, s1, same_sign, write = \
                 consts[s % GROUP_LEN]
-            u = u_all[s:s + 1]                  # (1, LT)
-            d = d_all[s:s + 1]
+            if vpw is None:
+                u = u_all[s:s + 1]              # (1, LT)
+                d = d_all[s:s + 1]
+            else:
+                j, k = s % ppw, s // ppw
+                u = u_js[j][k:k + 1]
+                d = d_js[j][k:k + 1]
             if is_float:
                 # (u+d)/2 * s0 + (u-d)/2 * s1 == r0*s0 + r1*s1; with +-1
                 # signs this is u or d times the sign, like the int path
@@ -330,23 +355,36 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
 
 def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
                 lane_tile: int) -> jnp.ndarray:
-    """(n_packs, bpp, 2, b_pad) staged stages -> packed output words."""
+    """Staged input -> packed output words.  rs is (n_packs, bpp, 2, b_pad)
+    soft values (value mode) or (n_packs, wpp, b_pad) packed channel words
+    (word mode, unpacked in-kernel)."""
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
     n_conv = -(-(cfg.extra_r - bpp) // bpp)
     n_emit = plan.dec_len // bpp
     is_float = cfg.channel_in == ChannelIn.FP32
-    b_pad = rs.shape[3]
+    b_pad = rs.shape[-1]
+    word_mode = rs.ndim == 3
+
+    kw = {}
+    if word_mode:
+        assert not is_float
+        kw = dict(vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width)
+        in_spec = pl.BlockSpec((n_packs, rs.shape[1], lane_tile),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+    else:
+        in_spec = pl.BlockSpec((n_packs, bpp, 2, lane_tile),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
                                n_conv=n_conv, n_emit=n_emit,
-                               is_float=is_float)
+                               is_float=is_float, **kw)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
-        in_specs=[pl.BlockSpec((n_packs, bpp, 2, lane_tile),
-                               lambda i: (0, 0, 0, i),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[in_spec],
         out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
@@ -379,6 +417,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
 # word-granular staging lives in core_xla (backend-agnostic); re-exported
 # here under its historical name
 from .core_xla import stage_layout_packed as _stage_layout_packed  # noqa: E402
+from .core_xla import stage_words as _stage_words  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
@@ -387,9 +426,18 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                          lane_tile: int = LANE_TILE) -> jnp.ndarray:
     """Full decode straight from packed channel words (the ViterbiCUDA::run
     input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
-    the production large-message entry point."""
+    the production large-message entry point.
+
+    Integer channel formats stay packed all the way into the kernel (word
+    mode: the (Lw, b_pad) word transpose is the only staging data movement,
+    1/dpp of the soft-value traffic; the kernel unpacks in VMEM).  FP32
+    goes through the sign-extended value staging."""
     is_float = cfg.channel_in == ChannelIn.FP32
-    packed = packed.astype(jnp.float32 if is_float else jnp.int32)
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
-    rs = _stage_layout_packed(packed, cfg, plan, b_pad)
+    if is_float:
+        rs = _stage_layout_packed(packed.astype(jnp.float32), cfg, plan,
+                                  b_pad)
+    else:
+        wt = _stage_words(packed.astype(jnp.int32), cfg, plan, b_pad)
+        rs = wt.reshape(plan.n_packs, -1, b_pad)
     return _run_kernel(rs, cfg, plan, lane_tile)

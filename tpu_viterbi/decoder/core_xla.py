@@ -111,23 +111,15 @@ def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
     return r[idx]
 
 
-def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
-                        plan: BlockPlan, b_pad: int) -> jnp.ndarray:
-    """Packed channel words -> (n_packs, bpp, 2, b_pad) scan-major staged
-    stages, with every intermediate keeping a lane-friendly minor dimension.
+def stage_words(packed: jnp.ndarray, cfg: DecoderConfig,
+                plan: BlockPlan, b_pad: int) -> jnp.ndarray:
+    """Packed channel words -> (Lw, b_pad) word-major block layout.
 
     The block split (body reshape + shifted halo view + last-block patch)
-    happens at *word* granularity — 1/dpp of the soft-value traffic — and
-    the word->value unpack runs after the (Lw, B) transpose so its dpp axis
-    sits between two big dimensions instead of being a tiny minor dim (a
-    (N, dpp) unpack layout pads dpp to 128 lanes: ~8 GB of padding at the
-    reference's 32M-bit default workload).  FP32 channel values are treated
-    as width-32 one-value words (no unpack, clamp only —
-    viterbiBM.cuh:139-151 semantics)."""
-    from ..config import FP_PRECISION
+    happens at *word* granularity — 1/dpp of the soft-value traffic.  FP32
+    channel values are treated as width-32 one-value words."""
     is_float = cfg.channel_in == ChannelIn.FP32
     dpp = 1 if is_float else cfg.enc_data_per_pack
-    width = cfg.enc_data_width
     dl, B = plan.dec_len, plan.num_blocks
     wpb = 2 * dl // dpp                 # body words per block
     wph = 2 * WARMUP // dpp             # halo words per block
@@ -153,7 +145,26 @@ def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
         blocks = jnp.concatenate(
             [blocks, jnp.zeros((b_pad - B, Lw), packed.dtype)], axis=0)
 
-    wt = blocks.transpose(1, 0)                             # (Lw, b_pad)
+    return blocks.transpose(1, 0)                           # (Lw, b_pad)
+
+
+def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
+                        plan: BlockPlan, b_pad: int) -> jnp.ndarray:
+    """Packed channel words -> (n_packs, bpp, 2, b_pad) scan-major staged
+    stages, with every intermediate keeping a lane-friendly minor dimension.
+
+    The block split runs at word granularity (stage_words) and the
+    word->value unpack runs after the (Lw, B) transpose so its dpp axis
+    sits between two big dimensions instead of being a tiny minor dim (a
+    (N, dpp) unpack layout pads dpp to 128 lanes: ~8 GB of padding at the
+    reference's 32M-bit default workload).  FP32 channel values are clamped
+    only (viterbiBM.cuh:139-151 semantics)."""
+    from ..config import FP_PRECISION
+    is_float = cfg.channel_in == ChannelIn.FP32
+    dpp = 1 if is_float else cfg.enc_data_per_pack
+    width = cfg.enc_data_width
+
+    wt = stage_words(packed, cfg, plan, b_pad)              # (Lw, b_pad)
 
     if is_float:
         lo = -(1 << (FP_PRECISION - 1))
