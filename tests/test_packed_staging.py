@@ -107,3 +107,41 @@ def test_packed_staging_b16_packs(rng):
     ref = _stage_layout(r.astype(jnp.int32), plan, b_pad)
     got = _stage_layout_packed(packed.astype(jnp.int32), cfg, plan, b_pad)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT4,
+                                     ChannelIn.SOFT8, ChannelIn.SOFT16])
+def test_stage_words_matches_kernel_unpack_contract(rng, channel):
+    """The Pallas kernel's word-mode unpack (core_pallas._viterbi_kernel:
+    value v of word w is bits [32-(v+1)*width, 32-v*width), stage s uses
+    values (2s, 2s+1) of word s // (dpp/2)) must reproduce exactly the
+    sign-extended values the value-mode staging produces."""
+    from tpu_viterbi.decoder.core_xla import plan_blocks, stage_words
+    from tpu_viterbi.decoder.core_pallas import _stage_layout_packed
+
+    cfg = DecoderConfig(channel_in=channel)
+    message_len, dec_len = 512, 128
+    plan = plan_blocks(message_len, cfg.bits_per_pack, dec_len)
+    dpp, width = cfg.enc_data_per_pack, cfg.enc_data_width
+    n_vals = 2 * (message_len + 64)
+    words = jnp.asarray(rng.integers(-2 ** 31, 2 ** 31, size=(n_vals // dpp,))
+                        .astype(np.int32))
+    b_pad = 8
+
+    ref = np.asarray(_stage_layout_packed(words, cfg, plan, b_pad))
+    wt = np.asarray(stage_words(words, cfg, plan, b_pad))
+    rs = wt.reshape(plan.n_packs, -1, b_pad)      # (n_packs, wpp, b_pad)
+
+    ppw = dpp // 2
+    bpp = plan.bits_per_pack
+    got = np.zeros_like(ref)
+    for s in range(bpp):
+        j, k = s % ppw, s // ppw
+        wv = rs[:, k]                             # (n_packs, b_pad)
+        for h, v in enumerate((2 * j, 2 * j + 1)):
+            if width == 1:
+                val = ((wv >> (31 - v)) & 1) * 2 - 1
+            else:
+                val = (wv << (v * width)).astype(np.int32) >> (32 - width)
+            got[:, s, h] = val
+    np.testing.assert_array_equal(got, ref)
