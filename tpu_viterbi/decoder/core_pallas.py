@@ -416,8 +416,59 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
 
 # word-granular staging lives in core_xla (backend-agnostic); re-exported
 # here under its historical name
+from .core_xla import WARMUP as _WARMUP  # noqa: E402
 from .core_xla import stage_layout_packed as _stage_layout_packed  # noqa: E402
 from .core_xla import stage_words as _stage_words  # noqa: E402
+
+
+def _stage_tr_kernel(body_ref, halo_ref, o_ref):
+    wpb = body_ref.shape[1]
+    o_ref[:wpb] = body_ref[...].T
+    o_ref[wpb:] = halo_ref[...].T
+
+
+def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
+                       plan: BlockPlan, b_pad: int,
+                       lane_tile: int = LANE_TILE) -> jnp.ndarray:
+    """Packed channel words -> (Lw, b_pad) word-major block layout via a
+    Pallas transpose kernel.  Semantics identical to core_xla.stage_words;
+    the XLA transpose measures ~75 GB/s at the 32M-bit shape while
+    128-block tiles through VMEM reach ~1 TB/s (scripts/transpose_bench.py),
+    and the body/halo concat never materializes block-major."""
+    dpp = cfg.enc_data_per_pack
+    dl, B = plan.dec_len, plan.num_blocks
+    wpb = 2 * dl // dpp
+    wph = 2 * _WARMUP // dpp
+    Lw = wpb + wph
+
+    need = b_pad * wpb + wpb            # body rows + room for the halo shift
+    if packed.shape[0] < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
+    body = packed[: b_pad * wpb].reshape(b_pad, wpb)
+    halo = packed[wpb: b_pad * wpb + wpb].reshape(b_pad, wpb)[:, :wph]
+
+    out = pl.pallas_call(
+        _stage_tr_kernel,
+        grid=(b_pad // lane_tile,),
+        in_specs=[pl.BlockSpec((lane_tile, wpb), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((lane_tile, wph), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Lw, lane_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Lw, b_pad), packed.dtype),
+    )(body, halo)
+
+    if B > 1 and plan.overlap_bits:
+        # left-shifted last block (ends exactly at message_len)
+        start_w = 2 * (plan.message_len - dl) // dpp
+        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
+        out = jax.lax.dynamic_update_slice(out, last[:, None], (0, B - 1))
+    # padding columns (blocks >= B) carry leftover stream words rather than
+    # zeros; those lanes are decoded and discarded, and int32 path metrics
+    # cannot overflow on any word content, so no masking pass is spent
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
@@ -438,6 +489,7 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
         rs = _stage_layout_packed(packed.astype(jnp.float32), cfg, plan,
                                   b_pad)
     else:
-        wt = _stage_words(packed.astype(jnp.int32), cfg, plan, b_pad)
+        wt = stage_words_pallas(packed.astype(jnp.int32), cfg, plan, b_pad,
+                                lane_tile)
         rs = wt.reshape(plan.n_packs, -1, b_pad)
     return _run_kernel(rs, cfg, plan, lane_tile)
