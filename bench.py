@@ -54,7 +54,9 @@ def main():
     def setup(msg_len):
         input_num = 2 * msg_len
         m = cfg.get_message_len(input_num)
-        plan = plan_blocks(m, cfg.bits_per_pack, 2048)
+        # dec_len 8192 measured best at 32M on v5e (scripts/sweep2.py):
+        # halo overhead 64/(dec_len+64) amortizes with longer blocks
+        plan = plan_blocks(m, cfg.bits_per_pack, 8192)
 
         @jax.jit
         def make_workload(key):
@@ -89,7 +91,7 @@ def main():
                                                      pallas_supported)
         use_pallas = pallas_supported(
             cfg, plan_blocks(cfg.get_message_len(2 * message_len),
-                             cfg.bits_per_pack, 2048))
+                             cfg.bits_per_pack, 8192))
     except Exception:
         use_pallas = False
 
