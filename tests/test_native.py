@@ -40,3 +40,27 @@ def test_native_zero_errors(rng):
     flipped[::37] ^= 1
     assert (native_count_bit_errors(words, 32, flipped)
             == int(np.count_nonzero(bits != flipped)))
+
+
+def test_native_quantize_pack_matches_jnp():
+    import jax.numpy as jnp
+    from tpu_viterbi.chain.quantize import quantize_and_pack, unpack_to_soft
+    from tpu_viterbi.config import ChannelIn
+    from tpu_viterbi.utils.native import (native_quantize_pack,
+                                          native_unpack_soft)
+
+    rng = np.random.default_rng(5)
+    vals = (rng.normal(size=(4096 + 3,)) * 3.0).astype(np.float32)
+    widths = {ChannelIn.HARD: 1, ChannelIn.SOFT4: 4, ChannelIn.SOFT8: 8,
+              ChannelIn.SOFT16: 16}
+    for ch, width in widths.items():
+        want = np.asarray(quantize_and_pack(jnp.asarray(vals), ch,
+                                            scale=2.5)).astype(np.int32)
+        got = native_quantize_pack(vals, width, scale=2.5)
+        if got is None:
+            pytest.skip("native library unavailable")
+        np.testing.assert_array_equal(got, want, err_msg=ch.name)
+
+        soft_want = np.asarray(unpack_to_soft(jnp.asarray(want), ch))
+        soft_got = native_unpack_soft(want, width)
+        np.testing.assert_array_equal(soft_got, soft_want, err_msg=ch.name)

@@ -53,6 +53,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.count_bit_errors_u16.argtypes = [
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.quantize_pack_f32.restype = ctypes.c_longlong
+    lib.quantize_pack_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_float,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.unpack_soft_words.restype = None
+    lib.unpack_soft_words.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -82,3 +90,35 @@ def native_count_bit_errors(decoded_words: np.ndarray, bits_per_pack: int,
     return int(fn(w.ctypes.data_as(ctypes.POINTER(ptr_t)), len(w),
                   ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                   len(ref)))
+
+
+def native_quantize_pack(values: np.ndarray, width: int,
+                         scale: float = 1.0) -> Optional[np.ndarray]:
+    """Host-side quantize + MSB-first pack of float soft values into int32
+    channel words (reference SoftDecisionPacker, src/viterbiDF.h:98-167).
+    width: 1 (HARD) / 4 / 8 / 16.  None if the native library is absent."""
+    lib = get_lib()
+    if lib is None or width not in (1, 4, 8, 16):
+        return None
+    v = np.ascontiguousarray(values, dtype=np.float32)
+    per_word = 32 // width
+    out = np.empty((len(v) + per_word - 1) // per_word, dtype=np.int32)
+    lib.quantize_pack_f32(v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          len(v), ctypes.c_float(scale), width,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def native_unpack_soft(words: np.ndarray, width: int) -> Optional[np.ndarray]:
+    """Packed channel words -> sign-extended int32 soft values (HARD -> +-1);
+    the host-side inverse of native_quantize_pack.  None if the native
+    library is absent."""
+    lib = get_lib()
+    if lib is None or width not in (1, 4, 8, 16):
+        return None
+    w = np.ascontiguousarray(words, dtype=np.int32)
+    out = np.empty(len(w) * (32 // width), dtype=np.int32)
+    lib.unpack_soft_words(w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                          len(w), width,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
