@@ -42,8 +42,11 @@ scripts/acs_variants_bench.py and scripts/op_cost_probe.py):
   and 6-cycle shuffle-exchange layout (viterbiACS.cuh:418-480); measured
   89 -> 27 ns/stage per 128-block tile end to end.
 
-Supported configs (v1): int32 metrics (M_B32), both pack widths, all
-channels.  Other metric dtypes fall back to the XLA scan core.
+Supported configs: all channels, both pack widths, and every metric
+dtype — b16/fp16 metric modes decode bit-identically to int32 by the
+reference's own renorm-stride design (see pallas_supported), so they all
+run on this int32 kernel.  The XLA scan core (core_xla.py) remains the
+dtype-faithful semantic reference and the CPU path.
 """
 
 from __future__ import annotations
@@ -69,9 +72,15 @@ _TAP_MASK1 = 0o155 & 63
 
 
 def pallas_supported(cfg: DecoderConfig, plan: BlockPlan) -> bool:
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    return cfg.metric == Metric.M_B32
+    """All metric dtypes route through the int32 kernel: the reference
+    sizes renorm strides so int16 PMs never wrap and restricts fp16 to
+    channels whose PMs stay integer-exact (viterbi.h:22-41, viterbi.cu:173)
+    — the metric dtype is a performance knob with identical decodes, and
+    the b16/fp16 XLA cores were verified bit-identical to this kernel on
+    full-range inputs (scripts/check_metric_equiv.py).  Mosaic on this
+    backend cannot lower int16/fp16 vectors anyway (PARITY.md P3); int32
+    is the fast representation for every mode."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _parity(v):
