@@ -135,7 +135,8 @@ def main():
     _log(f"t_full: {[f'{t*1e3:.1f}ms' for t in tf]}  "
          f"t_half: {[f'{t*1e3:.1f}ms' for t in th]}")
     raw = min(tf)
-    kernel_s = max(2 * (min(tf) - min(th)), 1e-9)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    kernel_s = max(2 * (med(tf) - med(th)), 1e-9)
     gbps = m / kernel_s / 1e9
 
     if ber > 1e-2:
