@@ -149,3 +149,18 @@ def test_renorm_long_run_int16(rng):
     want = bits[EXTRA_L: EXTRA_L + dec_len]
     ber = np.count_nonzero(got != want) / dec_len
     assert ber < 5e-3, ber
+
+
+def test_run_rejects_short_input():
+    import pytest as _pytest
+
+    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.decoder.api import ViterbiTPU
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    dec = ViterbiTPU(cfg)
+    input_num = 2 * 10_000
+    words = cfg.get_input_words(input_num)
+    short = np.zeros(words - 1, dtype=np.int32)
+    with _pytest.raises(ValueError, match="need"):
+        dec.run(short, input_num, want_time=False)

@@ -104,6 +104,13 @@ class ViterbiTPU:
         uint32 for O_B32 and uint16 for O_B16 (reference decPack_t)."""
         cfg = self.config
         words = cfg.get_input_words(input_num)
+        n_in = np.shape(packed_input)[0]
+        if n_in < words:
+            # the reference would read out of bounds here (caller contract:
+            # buffer sized by getInputSize, viterbi.cu:64-84); fail loudly
+            raise ValueError(
+                f"packed_input has {n_in} words, need {words} for "
+                f"input_num={input_num} ({cfg.channel_in.name})")
         if cfg.channel_in == ChannelIn.FP32:
             x = jnp.asarray(packed_input, dtype=jnp.float32)[:words]
         else:
