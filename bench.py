@@ -136,7 +136,16 @@ def main():
          f"t_half: {[f'{t*1e3:.1f}ms' for t in th]}")
     raw = min(tf)
     med = lambda xs: sorted(xs)[len(xs) // 2]
-    kernel_s = max(2 * (med(tf) - med(th)), 1e-9)
+    # kernel work scales with padded lane tiles, not raw bits: at dec_len
+    # 8192 full pads to e.g. 31 tiles and half to 16, so a plain x2 slope
+    # would under-count by ~3%.  Scale by the actual tile ratio.
+    def tiles(ml):
+        blocks = -(-cfg.get_message_len(2 * ml) // 8192)
+        return -(-blocks // 128)
+    tf_tiles = tiles(message_len)
+    th_tiles = tiles(message_len // 2)
+    kernel_s = max((med(tf) - med(th)) * tf_tiles / (tf_tiles - th_tiles),
+                   1e-9)
     gbps = m / kernel_s / 1e9
 
     if ber > 1e-2:

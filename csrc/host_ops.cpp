@@ -83,7 +83,9 @@ long long quantize_pack_f32(const float* vals, long long n, float scale,
                     q = (uint32_t)r & mask;
                 }
             }
-            b = (b << width) | q;
+            // width == 32 would shift by the full type width (UB);
+            // per_word == 1 means the field IS the word
+            b = (per_word == 1) ? q : ((b << width) | q);
         }
         out[w] = (int32_t)b;
     }

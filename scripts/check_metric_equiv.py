@@ -51,7 +51,8 @@ def check(metric, channel, m=500_000, dec_len=2048, seed=3):
 
 def main():
     ok = True
-    for ch in (ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8):
+    for ch in (ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8,
+               ChannelIn.FP32):
         ok &= check(Metric.M_B16, ch)
     for ch in (ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.FP32):
         ok &= check(Metric.M_FP16, ch)

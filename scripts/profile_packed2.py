@@ -1,5 +1,6 @@
 """Slope-timed piece profile of decode_packed_pallas at 32M bits:
-  stage   - stage_words transpose only
+  stage   - stage_words_pallas (the production staging; the pallas_call
+            cannot be elided by XLA, unlike a bare sum-of-transpose)
   kernel  - _run_kernel from pre-staged words (pallas kernel + assemble)
   full    - decode_packed_pallas (stage + kernel + assemble)
 """
@@ -9,6 +10,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing_util import slope  # noqa: E402
 
 import numpy as np
 import jax
@@ -16,7 +19,8 @@ import jax.numpy as jnp
 
 from tpu_viterbi.config import ChannelIn, DecoderConfig
 from tpu_viterbi.decoder import core_pallas
-from tpu_viterbi.decoder.core_xla import plan_blocks, stage_words
+from tpu_viterbi.decoder.core_pallas import stage_words_pallas
+from tpu_viterbi.decoder.core_xla import plan_blocks
 
 T0 = time.time()
 M = 32_000_000
@@ -25,22 +29,6 @@ M = 32_000_000
 def log(s):
     print(f"+{time.time()-T0:6.1f}s {s}", flush=True)
 
-
-def slope(make_k, xs, reps=4, ks=(1, 5)):
-    """make_k(k) -> jitted fn of k inputs; returns per-item seconds."""
-    f1, f5 = make_k(ks[0]), make_k(ks[1])
-    np.asarray(f1(*xs[:ks[0]]))
-    np.asarray(f5(*xs[:ks[1]]))
-    t1s, t5s = [], []
-    n = len(xs)
-    for j in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f1(*(xs[(j + 1 + i) % n] for i in range(ks[0]))))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(f5(*(xs[(j + 2 + i) % n] for i in range(ks[1]))))
-        t5s.append(time.perf_counter() - t0)
-    return (min(t5s) - min(t1s)) / (ks[1] - ks[0])
 
 
 def main():
@@ -57,7 +45,7 @@ def main():
 
     def mk_stage(k):
         return jax.jit(lambda *ws: sum(
-            jnp.sum(stage_words(w, cfg, plan, b_pad)) for w in ws))
+            jnp.sum(stage_words_pallas(w, cfg, plan, b_pad)) for w in ws))
 
     def mk_full(k):
         return jax.jit(lambda *ws: sum(
@@ -69,7 +57,7 @@ def main():
     t = slope(mk_full, xs)
     log(f"full  : {t*1e3:6.2f} ms")
 
-    stage_j = jax.jit(lambda w: stage_words(w, cfg, plan, b_pad)
+    stage_j = jax.jit(lambda w: stage_words_pallas(w, cfg, plan, b_pad)
                       .reshape(plan.n_packs, -1, b_pad))
     rss = [stage_j(x) for x in xs[:8]]
     np.asarray(sum(jnp.sum(r[0]) for r in rss))

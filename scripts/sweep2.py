@@ -6,6 +6,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing_util import slope  # noqa: E402
 
 import numpy as np
 import jax
@@ -22,21 +24,6 @@ M = 32_000_000
 def log(s):
     print(f"+{time.time()-T0:6.1f}s {s}", flush=True)
 
-
-def slope(make_k, xs, reps=3, ks=(1, 5)):
-    f1, f5 = make_k(ks[0]), make_k(ks[1])
-    np.asarray(f1(*xs[:ks[0]]))
-    np.asarray(f5(*xs[:ks[1]]))
-    t1s, t5s = [], []
-    n = len(xs)
-    for j in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f1(*(xs[(j + 1 + i) % n] for i in range(ks[0]))))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(f5(*(xs[(j + 2 + i) % n] for i in range(ks[1]))))
-        t5s.append(time.perf_counter() - t0)
-    return (min(t5s) - min(t1s)) / (ks[1] - ks[0])
 
 
 def main():

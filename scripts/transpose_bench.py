@@ -1,9 +1,10 @@
 """Staging-transpose experiments at the 32M-bit shape: (B, Lw) block-major
 packed words -> (Lw, B) word-major, B=15744, Lw=1056 int32 (64 MB).
 
-  xla     - jnp.transpose (what stage_words does today)
-  pallas  - transpose kernel: grid over 128-block x 128-word tiles,
-            jnp .T per tile
+  xla     - jnp.transpose, materialization forced by feeding the result
+            to a pallas sum consumer (a bare sum-of-transpose is rewritten
+            by XLA to a sum over the input and times nothing)
+  pallas  - transpose kernel: tiles through VMEM, jnp .T per tile
 """
 
 import os
@@ -11,6 +12,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing_util import slope  # noqa: E402
 
 import numpy as np
 import jax
@@ -26,24 +29,35 @@ def log(s):
     print(f"+{time.time()-T0:6.1f}s {s}", flush=True)
 
 
-def slope(make_k, xs, reps=4, ks=(1, 5)):
-    f1, f5 = make_k(ks[0]), make_k(ks[1])
-    np.asarray(f1(*xs[:ks[0]]))
-    np.asarray(f5(*xs[:ks[1]]))
-    t1s, t5s = [], []
-    n = len(xs)
-    for j in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f1(*(xs[(j + 1 + i) % n] for i in range(ks[0]))))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(f5(*(xs[(j + 2 + i) % n] for i in range(ks[1]))))
-        t5s.append(time.perf_counter() - t0)
-    return (min(t5s) - min(t1s)) / (ks[1] - ks[0])
-
 
 def _tr_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].T
+
+
+def _sum_kernel(x_ref, o_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+    o_ref[...] += jnp.sum(x_ref[...], axis=0, keepdims=True)[:, :128]
+
+
+def pallas_consume(t):
+    """Force `t` (2D) to materialize in its own layout: a pallas reduction
+    must read the real array (XLA cannot rewrite through a pallas_call)."""
+    rows = 128
+    rp = -(-t.shape[0] // rows) * rows
+    if rp != t.shape[0]:
+        t = jnp.pad(t, ((0, rp - t.shape[0]), (0, 0)))
+    out = pl.pallas_call(
+        _sum_kernel,
+        grid=(rp // rows,),
+        in_specs=[pl.BlockSpec((rows, t.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), t.dtype),
+    )(t)
+    return jnp.sum(out)
 
 
 def pallas_transpose(x, tb=256, tw=256):
@@ -71,7 +85,7 @@ def main():
 
     def mk_xla(k):
         return jax.jit(lambda *zs: sum(
-            jnp.sum(z.transpose(1, 0)[:, 5]) for z in zs))
+            pallas_consume(z.transpose(1, 0)) for z in zs))
     t = slope(mk_xla, xs)
     log(f"xla transpose   : {t*1e3:6.2f} ms ({2*B*LW*4/t/1e9:5.0f} GB/s)")
 
@@ -79,6 +93,7 @@ def main():
         def mk_pl(k, tb=tb, tw=tw):
             return jax.jit(lambda *zs: sum(
                 jnp.sum(pallas_transpose(z, tb, tw)[:, 5]) for z in zs))
+        # (no consumer needed: the pallas_call itself materializes)
         try:
             t = slope(mk_pl, xs)
             log(f"pallas {tb}x{tw:4d} : {t*1e3:6.2f} ms "

@@ -425,7 +425,6 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
 
 # word-granular staging lives in core_xla (backend-agnostic); re-exported
 # here under its historical name
-from .core_xla import WARMUP as _WARMUP  # noqa: E402
 from .core_xla import stage_layout_packed as _stage_layout_packed  # noqa: E402
 from .core_xla import stage_words as _stage_words  # noqa: E402
 
@@ -440,14 +439,16 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                        plan: BlockPlan, b_pad: int,
                        lane_tile: int = LANE_TILE) -> jnp.ndarray:
     """Packed channel words -> (Lw, b_pad) word-major block layout via a
-    Pallas transpose kernel.  Semantics identical to core_xla.stage_words;
-    the XLA transpose measures ~75 GB/s at the 32M-bit shape while
-    128-block tiles through VMEM reach ~1 TB/s (scripts/transpose_bench.py),
-    and the body/halo concat never materializes block-major."""
+    Pallas transpose kernel.  Semantics identical to core_xla.stage_words.
+    The Pallas tiles stream through VMEM at ~1 TB/s
+    (scripts/transpose_bench.py) regardless of how XLA chooses to lay out
+    the producer, and the body/halo concat never materializes block-major;
+    end-to-end the two stagings measure the same within relay noise — this
+    one is kept for its layout-independence."""
     dpp = cfg.enc_data_per_pack
     dl, B = plan.dec_len, plan.num_blocks
     wpb = 2 * dl // dpp
-    wph = 2 * _WARMUP // dpp
+    wph = 2 * WARMUP // dpp
     Lw = wpb + wph
 
     need = b_pad * wpb + wpb            # body rows + room for the halo shift
