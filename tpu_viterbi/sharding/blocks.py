@@ -54,8 +54,7 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     sd = stages_per_device
     if sd % 32:
         raise ValueError("stages_per_device must be a multiple of 32")
-    words_per_stage2 = 2 / cfg.enc_data_per_pack
-    local_words = int(sd * 2 // cfg.enc_data_per_pack)
+    local_words = sd * 2 // cfg.enc_data_per_pack
     plan = plan_blocks(sd, cfg.bits_per_pack, dec_len)
     perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
 
