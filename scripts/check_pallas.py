@@ -54,6 +54,8 @@ def main():
                               decode_out=DecodeOut.O_B16), 96, 5)
     ok &= check(DecoderConfig(channel_in=ChannelIn.SOFT8), 128, 3,
                 extra_m=64)   # overlapped last block
+    ok &= check(DecoderConfig(channel_in=ChannelIn.SOFT8), 32, 40)
+                # dec_len < 64: halo spans multiple following blocks
     print("PALLAS matches golden on all blocks" if ok else "FAILURES")
     return 0 if ok else 1
 

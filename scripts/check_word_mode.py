@@ -63,6 +63,9 @@ def main():
     # overlapped (left-shifted) last block
     ok &= check(ChannelIn.SOFT4, DecodeOut.O_B32, dec_len=128, b=3,
                 extra_m=64)
+    # dec_len < 64: the halo spans multiple following blocks
+    ok &= check(ChannelIn.SOFT8, DecodeOut.O_B32, dec_len=32, b=40)
+    ok &= check(ChannelIn.SOFT4, DecodeOut.O_B16, dec_len=48, b=9)
     print("word mode matches value mode on all configs" if ok
           else "FAILURES")
     return 0 if ok else 1

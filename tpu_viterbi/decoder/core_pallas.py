@@ -334,22 +334,15 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
     touches 2 blocks, not B)."""
     dl, L, B = plan.dec_len, plan.block_len, plan.num_blocks
 
-    # r carries message_len + 64 stages; the uniform body/halo views below
-    # need B*dl + 64 (>= that when the last block overlaps).  Zero-pad; the
-    # padded rows only enter the last block's unpatched row, which is
-    # overwritten by the left-shifted slice underneath.
-    need = B * dl + 64
-    if r.shape[0] < need:
-        r = jnp.concatenate(
-            [r, jnp.zeros((need - r.shape[0], 2), r.dtype)], axis=0)
-
-    body = r[: B * dl].reshape(B, dl, 2)
-    halo_src = jnp.concatenate([r[dl:], jnp.zeros((dl, 2), r.dtype)], axis=0)
-    halo = halo_src[: B * dl].reshape(B, dl, 2)[:, :64]
-    blocks = jnp.concatenate([body, halo], axis=1)      # (B, L, 2)
+    from .core_xla import overlapped_windows
+    blocks = overlapped_windows(r, dl, L, B)            # (B, L, 2)
 
     if B > 1 and plan.overlap_bits:
         # left-shifted last block (ends exactly at message_len)
+        need = B * dl + 64
+        if r.shape[0] < need:
+            r = jnp.concatenate(
+                [r, jnp.zeros((need - r.shape[0], 2), r.dtype)], axis=0)
         last = jax.lax.dynamic_slice(
             r, (plan.message_len - dl, 0), (L, 2))
         blocks = blocks.at[B - 1].set(last)
@@ -451,12 +444,17 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     wph = 2 * WARMUP // dpp
     Lw = wpb + wph
 
+    from .core_xla import overlapped_windows
     need = b_pad * wpb + wpb            # body rows + room for the halo shift
     if packed.shape[0] < need:
         packed = jnp.concatenate(
             [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
     body = packed[: b_pad * wpb].reshape(b_pad, wpb)
-    halo = packed[wpb: b_pad * wpb + wpb].reshape(b_pad, wpb)[:, :wph]
+    # block k's halo = words [(k+1)*wpb, (k+1)*wpb + wph); when dec_len < 64
+    # the halo spans several following blocks' bodies, so use the general
+    # overlapped-window construction (a plain [:, :wph] slice of one
+    # shifted view silently truncates — caught by tests/test_fuzz.py)
+    halo = overlapped_windows(packed[wpb:], wpb, wph, b_pad)
 
     out = pl.pallas_call(
         _stage_tr_kernel,

@@ -111,13 +111,32 @@ def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
     return r[idx]
 
 
+def overlapped_windows(x: jnp.ndarray, stride: int, win: int,
+                       num: int) -> jnp.ndarray:
+    """(N, ...) stream -> (num, win, ...) overlapping windows at `stride`
+    WITHOUT an index gather (XLA gathers are catastrophically slow on TPU):
+    ceil(win/stride) shifted reshaped views concatenated along the window
+    axis.  The stream is zero-padded as needed; window k covers
+    x[k*stride : k*stride + win]."""
+    reps = -(-win // stride)
+    need = (num + reps) * stride
+    if x.shape[0] < need:
+        pad = [(0, need - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    parts = [x[j * stride: (j + num) * stride]
+             .reshape((num, stride) + x.shape[1:]) for j in range(reps)]
+    out = parts[0] if reps == 1 else jnp.concatenate(parts, axis=1)
+    return out[:, :win]
+
+
 def stage_words(packed: jnp.ndarray, cfg: DecoderConfig,
                 plan: BlockPlan, b_pad: int) -> jnp.ndarray:
     """Packed channel words -> (Lw, b_pad) word-major block layout.
 
-    The block split (body reshape + shifted halo view + last-block patch)
-    happens at *word* granularity — 1/dpp of the soft-value traffic.  FP32
-    channel values are treated as width-32 one-value words."""
+    The block split (overlapped windows of shifted reshaped views +
+    last-block patch) happens at *word* granularity — 1/dpp of the
+    soft-value traffic.  FP32 channel values are treated as width-32
+    one-value words."""
     is_float = cfg.channel_in == ChannelIn.FP32
     dpp = 1 if is_float else cfg.enc_data_per_pack
     dl, B = plan.dec_len, plan.num_blocks
@@ -125,18 +144,14 @@ def stage_words(packed: jnp.ndarray, cfg: DecoderConfig,
     wph = 2 * WARMUP // dpp             # halo words per block
     Lw = wpb + wph
 
-    need = B * wpb + wph
-    if packed.shape[0] < need:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
-
-    body = packed[: B * wpb].reshape(B, wpb)
-    halo_src = jnp.concatenate(
-        [packed[wpb:], jnp.zeros((wpb,), packed.dtype)])
-    halo = halo_src[: B * wpb].reshape(B, wpb)[:, :wph]
-    blocks = jnp.concatenate([body, halo], axis=1)          # (B, Lw)
+    blocks = overlapped_windows(packed, wpb, Lw, B)         # (B, Lw)
 
     if B > 1 and plan.overlap_bits:
+        need = B * wpb + wph
+        if packed.shape[0] < need:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((need - packed.shape[0],),
+                                   packed.dtype)])
         start_w = 2 * (plan.message_len - dl) // dpp
         last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
         blocks = blocks.at[B - 1].set(last)
