@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_viterbi.chain.quantize import unpack_to_soft_np
-from tpu_viterbi.config import ALL_VALID_CONFIGS, ChannelIn, CompMode
+from tpu_viterbi.config import (ALL_VALID_CONFIGS, ChannelIn, CompMode,
+                                DecoderConfig)
 from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
 from tpu_viterbi.decoder.golden import golden_decode_block
 from tpu_viterbi.utils.bits import unpack_msb_first
@@ -56,3 +57,46 @@ def test_fuzz_decode_matches_golden(trial):
             n = min(n, max(0, (message_len - plan.dec_len) - off))
         assert np.array_equal(bits[off + lo: off + n], want[lo:n]), (
             f"trial={trial} cfg={cfg} block={k} off={off}")
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_streaming_noiseless_exact(trial):
+    """Chunked decode of a noiseless coded stream must reproduce the exact
+    message bits (output bit i = message bit i + extra_l) for random
+    channels, block lengths, and chunk sizes.  (Bit-for-bit equality with a
+    one-shot decode only holds on convergent — i.e. actual coded — input,
+    so the fuzz drives the real contract, not raw random words.)"""
+    from tpu_viterbi.chain.encode import conv_encode_np
+    from tpu_viterbi.chain.quantize import quantize_and_pack
+    from tpu_viterbi.decoder.streaming import StreamingViterbi
+
+    rng = np.random.default_rng(2000 + trial)
+    channels = [ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8,
+                ChannelIn.SOFT16]
+    scales = {ChannelIn.HARD: 1.0, ChannelIn.SOFT4: 4.0,
+              ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0}
+    ch = channels[rng.integers(len(channels))]
+    cfg = DecoderConfig(channel_in=ch)
+    dec_len = int(rng.integers(2, 6)) * cfg.bits_per_pack
+
+    n = int(rng.integers(6, 30)) * 1024
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    sym = (2 * conv_encode_np(bits).astype(np.float32) - 1)
+    packed = np.asarray(quantize_and_pack(jnp.asarray(sym), ch, scales[ch]))
+
+    stream = StreamingViterbi(cfg, dec_len=dec_len, backend="xla")
+    chunk_words = int(rng.integers(1, 8)) * 64
+    outs = []
+    for a in range(0, len(packed), chunk_words):
+        outs.append(stream.push(packed[a:a + chunk_words]))
+    outs.append(stream.flush())
+    got = np.concatenate([unpack_msb_first(o, cfg.bits_per_pack)
+                          for o in outs if len(o)])
+
+
+    usable = n - cfg.extra_l - 64
+    assert len(got) >= usable > 0
+    np.testing.assert_array_equal(
+        got[:usable], bits[cfg.extra_l: cfg.extra_l + usable],
+        err_msg=f"trial={trial} ch={ch.name} dec_len={dec_len} "
+                f"chunk={chunk_words}")
