@@ -34,3 +34,33 @@ def test_cli_verbose_config_echo(capsys):
     assert "Metric Type: 16-bit" in out
     assert "Output Type: 16-bit" in out
     assert "kernel time" in out  # -v prints pipeline status
+
+
+def test_cli_guards_match_options_valid():
+    """The CLI's hand-rolled runtime guards (mirroring the reference's
+    main.cpp:26-41) must reject exactly the combos config.options_valid
+    rejects."""
+    from tpu_viterbi.config import (ChannelIn, CompMode, DecodeOut, Metric,
+                                    options_valid)
+
+    ch_flag = {ChannelIn.HARD: "h", ChannelIn.SOFT4: "s4",
+               ChannelIn.SOFT8: "s8", ChannelIn.SOFT16: "s16",
+               ChannelIn.FP32: "f"}
+    m_flag = {Metric.M_B32: "b32", Metric.M_B16: "b16", Metric.M_FP16: "f16"}
+    o_flag = {DecodeOut.O_B32: "b32", DecodeOut.O_B16: "b16"}
+    c_flag = {CompMode.REG: "reg", CompMode.DPX: "dpx"}
+
+    for ch in ChannelIn:
+        for m in Metric:
+            for o in DecodeOut:
+                for c in CompMode:
+                    argv = ["-i", ch_flag[ch], "-m", m_flag[m],
+                            "-o", o_flag[o], "-c", c_flag[c], "-n", "0"]
+                    rc = cli.main(argv)
+                    if options_valid(ch, m, o, c):
+                        # valid combos get past the guards and fail later
+                        # on the degenerate -n 0 (anything but the -1
+                        # validity exit)
+                        assert rc != -1, (ch, m, o, c)
+                    else:
+                        assert rc == -1, (ch, m, o, c)

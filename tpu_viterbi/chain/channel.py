@@ -44,4 +44,7 @@ class AddNoise(ComputeElement):
         self.key = jax.random.PRNGKey(seed)
 
     def process(self, coded_bits):
-        return add_awgn(self.key, coded_bits, self.sigma)
+        # split per call: repeated pipe.run() must draw fresh noise, or a
+        # multi-run BER sweep accumulates N copies of one realization
+        self.key, sub = jax.random.split(self.key)
+        return add_awgn(sub, coded_bits, self.sigma)

@@ -30,6 +30,9 @@ class ViterbiDecoder(ComputeElement):
         return out
 
     def get_status_string(self, key: str) -> str:
+        # deliberately NOT the generic pipeline formatting: this reproduces
+        # the reference's exact us/ms/s pretty-print for this one status key
+        # (viterbiDF.h:197-208) so CLI output stays drop-in comparable
         if key == "kernel time":
             v = self.status[key]
             if v is None:

@@ -22,10 +22,13 @@ import jax
 
 
 def _block(x):
-    try:
-        return jax.block_until_ready(x)
-    except Exception:
+    """Await async device work so per-element timing bills the right stage.
+    Non-JAX values (host arrays, scalars) pass through; device-side errors
+    (e.g. ResourceExhausted) must surface HERE, on the element that caused
+    them, not later at the final fetch."""
+    if not isinstance(x, jax.Array):
         return x
+    return jax.block_until_ready(x)
 
 
 class ComputeElement:

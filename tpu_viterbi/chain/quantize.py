@@ -15,6 +15,7 @@ environment); jnp.rint matches.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,8 +91,14 @@ def pack_words(q: jnp.ndarray, width: int) -> jnp.ndarray:
         qf = jnp.concatenate([qf, jnp.zeros((n_pad,), jnp.float32)])
     q3 = qf.reshape(-1, span)
     whi, wlo = _pack_matrices(width)
-    hi = jnp.dot(q3, jnp.asarray(whi), preferred_element_type=jnp.float32)
-    lo = jnp.dot(q3, jnp.asarray(wlo), preferred_element_type=jnp.float32)
+    # precision=HIGHEST: on TPU the default f32 matmul truncates operands
+    # to bf16 (8 significand bits) — 16-bit SOFT16 fields would corrupt
+    # (e.g. 0xD9C2 -> 0xDA00); HIGHEST runs the multi-pass f32-exact MXU
+    # path, exact for all field widths here
+    hi = jnp.dot(q3, jnp.asarray(whi), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    lo = jnp.dot(q3, jnp.asarray(wlo), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
     return words.reshape(-1)[:n_words]
 

@@ -27,4 +27,6 @@ class RandBitGen(ComputeElement):
 
     def process(self, data):
         del data
-        return random_bits(self.key, self.n)
+        # split per call: repeated pipe.run() must draw fresh messages
+        self.key, sub = jax.random.split(self.key)
+        return random_bits(sub, self.n)

@@ -105,6 +105,11 @@ def main(argv=None) -> int:
     # runtime validity checks with the reference's error strings
     # (main.cpp:26-41)
     ci, mt = cfg_fields["channel_in"], cfg_fields["metric"]
+    # These mirror config.options_valid on purpose, exactly as the
+    # reference duplicates OptionsValid as runtime guards (main.cpp:26-41):
+    # each invalid combo gets the reference's error string;
+    # config.DecoderConfig would raise the same rejection generically
+    # (tests assert the two stay in sync).
     if mt == Metric.M_B16 and ci == ChannelIn.SOFT16:
         print("Error: 16-bit metric does not support 16-bit soft decision "
               "input.", file=sys.stderr)
@@ -123,6 +128,12 @@ def main(argv=None) -> int:
         return -1
 
     cfg = DecoderConfig(**cfg_fields)
+
+    if cfg.get_message_len(2 * args.num) <= 0:
+        print(f"Error: message length {args.num} too short — no decodable "
+              f"bits after the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
+              f"framing.", file=sys.stderr)
+        return 1
 
     if args.verbose:
         print(f"Message Length: {args.num}")

@@ -61,7 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import (ChannelIn, DecodeOut, DecoderConfig, FP_PRECISION,
                       Metric, NUM_STATES)
-from .core_xla import WARMUP, BlockPlan, assemble_output
+from .core_xla import (WARMUP, BlockPlan, assemble_output,
+                       validate_plan)
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 
@@ -107,14 +108,6 @@ def _parity(v):
 # ---------------------------------------------------------------------------
 
 GROUP_LEN = 4
-
-
-def _np_parity(v):
-    v = np.asarray(v)
-    v = v ^ (v >> 4)
-    v = v ^ (v >> 2)
-    v = v ^ (v >> 1)
-    return v & 1
 
 
 def _runs(rows):
@@ -409,6 +402,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
     that XLA pads to 128 lanes — fine up to a few Mb, pathological at 32M
     bits.  Large runs should enter through decode_packed_pallas, which
     stages at packed-word granularity instead."""
+    validate_plan(cfg, plan)
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
@@ -491,6 +485,7 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     mode: the (Lw, b_pad) word transpose is the only staging data movement,
     1/dpp of the soft-value traffic; the kernel unpacks in VMEM).  FP32
     goes through the sign-extended value staging."""
+    validate_plan(cfg, plan)
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     if is_float:

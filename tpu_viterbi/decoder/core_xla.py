@@ -39,10 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ChannelIn, DecoderConfig, Metric, NUM_STATES
-from ..trellis import BRANCH_CODE_J0, BRANCH_CODE_J1
+from ..trellis import BRANCH_CODE_J0
 
 WARMUP = 64          # extra_l + extra_r stages per block (viterbi.h:73-76)
-_EMIT_DELAY = 32     # output bit o <- decision at stage o + 32
 
 # PM renorm thresholds (reference: viterbiACS.cuh:320, 341, 359)
 _RENORM_LIMIT = {Metric.M_B16: 16000, Metric.M_B32: 10 ** 9,
@@ -96,6 +95,24 @@ def plan_blocks(message_len: int, bits_per_pack: int,
     dec_len -= dec_len % bits_per_pack
     num_blocks = -(-message_len // dec_len)
     return BlockPlan(message_len, dec_len, num_blocks, bits_per_pack)
+
+
+_MAX_ABS_BM = {ChannelIn.HARD: 2, ChannelIn.SOFT4: 16,
+               ChannelIn.SOFT8: 256, ChannelIn.SOFT16: 65536,
+               ChannelIn.FP32: 16}
+
+
+def validate_plan(cfg: DecoderConfig, plan: BlockPlan) -> None:
+    """int32 path metrics are renorm-free (blocks reset PMs), which is only
+    sound while block_len * max|bm| stays far from 2^31 — enforce it, else
+    a huge --dec-len silently wraps PMs and corrupts decodes."""
+    growth = plan.block_len * _MAX_ABS_BM[cfg.channel_in]
+    if growth >= (1 << 30):
+        max_bl = (1 << 30) // _MAX_ABS_BM[cfg.channel_in]
+        raise ValueError(
+            f"dec_len {plan.dec_len} too large for the renorm-free int32 "
+            f"path-metric bound with {cfg.channel_in.name} input: "
+            f"block_len must stay below {max_bl} stages")
 
 
 def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
@@ -362,6 +379,7 @@ def assemble_output(out_packs: jnp.ndarray, cfg: DecoderConfig,
 def decode_blocks(r_blocks: jnp.ndarray, cfg: DecoderConfig,
                   plan: BlockPlan) -> jnp.ndarray:
     """Full block-parallel decode: (B, L, 2) soft values -> packed words."""
+    validate_plan(cfg, plan)
     surv = forward_scan(r_blocks, cfg, plan)
     out_packs = traceback_scan(surv, cfg, plan)
     return assemble_output(out_packs, cfg, plan)
@@ -374,6 +392,7 @@ def decode_packed_xla(packed: jnp.ndarray, cfg: DecoderConfig,
     (production fallback for configs the Pallas kernel doesn't cover, e.g.
     int16/fp16 metrics).  Word-granular staging keeps every intermediate
     lane-friendly at 32M-bit scale."""
+    validate_plan(cfg, plan)
     is_float = cfg.channel_in == ChannelIn.FP32
     packed = packed.astype(jnp.float32 if is_float else jnp.int32)
     rs = stage_layout_packed(packed, cfg, plan, plan.num_blocks)

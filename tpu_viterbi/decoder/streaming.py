@@ -31,7 +31,6 @@ class StreamingViterbi:
         self.config = config
         self._dec = ViterbiTPU(config, dec_len=dec_len, backend=backend)
         self._carry: Optional[np.ndarray] = None  # packed words carried over
-        self._chunk_words: Optional[int] = None
 
     @property
     def _values_per_word(self) -> int:

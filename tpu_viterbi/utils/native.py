@@ -1,11 +1,12 @@
 """ctypes bindings to the native host-ops library (csrc/host_ops.cpp).
 
 The reference keeps all host-side hot loops (bit packing, BER accounting) in
-C++ (src/main.cpp:151-171, src/viterbiDF.h).  This module provides the same
-native-speed path for the TPU framework: the shared library is built once on
-demand with g++ -O3 and cached next to the source; every entry point has a
-NumPy fallback (see utils/bits.py) so the framework works without a
-toolchain.
+C++ (src/main.cpp:151-171, src/viterbiDF.h).  This module binds the native
+equivalents: BER accounting (used by utils/bits.count_bit_errors whenever
+the library builds; NumPy fallback otherwise) and host-IO quantize/pack +
+unpack for callers ingesting host-side sample streams (the simulation chain
+itself quantizes on device — chain/quantize.py).  The shared library is
+built once on demand with g++ -O3 and cached next to the source.
 """
 
 from __future__ import annotations
