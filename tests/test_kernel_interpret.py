@@ -1,0 +1,34 @@
+"""Pallas-kernel correctness WITHOUT TPU hardware: interpret mode executes
+the exact kernel program (rotating-layout ACS, register exchange, in-kernel
+traceback) with Python/numpy semantics on the CPU backend, checked against
+the golden full-history oracle.  Complements the on-hardware qualification
+scripts (scripts/check_pallas.py etc.) by keeping the kernel inside CI.
+Small shapes only — interpret mode is slow."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
+from tpu_viterbi.decoder.core_pallas import decode_blocks_pallas
+from tpu_viterbi.decoder.core_xla import plan_blocks
+from tpu_viterbi.decoder.golden import golden_decode_block
+from tpu_viterbi.utils.bits import unpack_msb_first
+
+
+@pytest.mark.parametrize("decode_out,dec_len,b",
+                         [(DecodeOut.O_B32, 96, 3),
+                          (DecodeOut.O_B16, 64, 2)])
+def test_kernel_interpret_matches_golden(rng, decode_out, dec_len, b):
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8, decode_out=decode_out)
+    m = dec_len * b
+    plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
+    r = rng.integers(-100, 101, size=(m + 64, 2)).astype(np.int32)
+
+    out = np.asarray(decode_blocks_pallas(jnp.asarray(r), cfg, plan,
+                                          interpret=True))
+    bits = unpack_msb_first(out, cfg.bits_per_pack)
+    for k, off in enumerate(plan.offsets()):
+        want = golden_decode_block(
+            r[off:off + plan.block_len].astype(np.int64), dec_len)
+        assert np.array_equal(bits[off:off + dec_len], want), f"block {k}"

@@ -349,7 +349,7 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
 
 
 def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
-                lane_tile: int) -> jnp.ndarray:
+                lane_tile: int, interpret: bool = False) -> jnp.ndarray:
     """Staged input -> packed output words.  rs is (n_packs, bpp, 2, b_pad)
     soft values (value mode) or (n_packs, wpp, b_pad) packed channel words
     (word mode, unpacked in-kernel)."""
@@ -385,16 +385,19 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
                                    jnp.int32)],
+        interpret=interpret,
     )(rs)
 
     out_packs = out.transpose(1, 0)[:plan.num_blocks].view(jnp.uint32)
     return assemble_output(out_packs, cfg, plan)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "plan", "lane_tile", "interpret"))
 def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
                          plan: BlockPlan,
-                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
+                         lane_tile: int = LANE_TILE,
+                         interpret: bool = False) -> jnp.ndarray:
     """Full decode from the global (S, 2) soft stage array via the fused
     Pallas kernel.  Returns packed output words (uint32/uint16).
 
@@ -407,7 +410,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
                        plan, b_pad)
-    return _run_kernel(rs, cfg, plan, lane_tile)
+    return _run_kernel(rs, cfg, plan, lane_tile, interpret)
 
 
 # word-granular staging lives in core_xla (backend-agnostic); re-exported
