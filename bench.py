@@ -42,21 +42,22 @@ def main():
     # axon relay backend cached-executable execution hangs (verified r1).
 
     from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
+    from tpu_viterbi.chain.channel import snr_to_sigma
     from tpu_viterbi.chain.source import random_bits
     from tpu_viterbi.config import ChannelIn, DecoderConfig
     from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
 
     message_len = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     snr_db = 5.5
-    sigma = float(10.0 ** (-snr_db / 5.0))
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    # dec_len 8192 measured best at 32M on v5e (scripts/sweep2.py): the
+    # 64-stage halo amortizes over longer blocks
+    dec_len = 8192
 
     def setup(msg_len):
         input_num = 2 * msg_len
         m = cfg.get_message_len(input_num)
-        # dec_len 8192 measured best at 32M on v5e (scripts/sweep2.py):
-        # halo overhead 64/(dec_len+64) amortizes with longer blocks
-        plan = plan_blocks(m, cfg.bits_per_pack, 8192)
+        plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
 
         @jax.jit
         def make_workload(key):
@@ -64,7 +65,7 @@ def main():
             k1, k2 = jax.random.split(key)
             bits = random_bits(k1, msg_len)
             coded = conv_encode(bits)
-            noisy = add_awgn(k2, coded, sigma)
+            noisy = add_awgn(k2, coded, snr_to_sigma(snr_db))
             packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
             # reference-truth words: bits[extra_l:extra_l+m], MSB-first packs
             from tpu_viterbi.chain.quantize import pack_words
@@ -91,7 +92,7 @@ def main():
                                                      pallas_supported)
         use_pallas = pallas_supported(
             cfg, plan_blocks(cfg.get_message_len(2 * message_len),
-                             cfg.bits_per_pack, 8192))
+                             cfg.bits_per_pack, dec_len))
     except Exception:
         use_pallas = False
 
@@ -103,7 +104,7 @@ def main():
     # Peak HBM stays at a single decode, which k>=2 multi-decode dispatches
     # exceed at 32M bits on this backend.
     m, make_full, decode_full = setup(message_len)
-    m_h, make_half, decode_half = setup(message_len // 2)
+    _, make_half, decode_half = setup(message_len // 2)
 
     _log(f"compiling (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
@@ -139,14 +140,32 @@ def main():
     # kernel work scales with padded lane tiles, not raw bits: at dec_len
     # 8192 full pads to e.g. 31 tiles and half to 16, so a plain x2 slope
     # would under-count by ~3%.  Scale by the actual tile ratio.
+    from tpu_viterbi.decoder.core_pallas import LANE_TILE
+
     def tiles(ml):
-        blocks = -(-cfg.get_message_len(2 * ml) // 8192)
-        return -(-blocks // 128)
+        blocks = -(-cfg.get_message_len(2 * ml) // dec_len)
+        return -(-blocks // LANE_TILE)
     tf_tiles = tiles(message_len)
     th_tiles = tiles(message_len // 2)
-    kernel_s = max((med(tf) - med(th)) * tf_tiles / (tf_tiles - th_tiles),
-                   1e-9)
+    if tf_tiles > th_tiles:
+        ratio = tf_tiles / (tf_tiles - th_tiles)
+    else:
+        # tiny messages quantize to the same tile count — fall back to the
+        # message-length ratio (the work difference is then sub-tile)
+        ratio = 2.0
+    slope_s = (med(tf) - med(th)) * ratio
+    kernel_s = max(slope_s, 1e-9)
     gbps = m / kernel_s / 1e9
+
+    if slope_s < 2e-4:
+        # decode time below the relay's timing resolution (tiny messages):
+        # a Gb/s figure would be meaningless noise
+        print(json.dumps({"metric": "decoded_throughput_soft8_b32",
+                          "value": 0.0, "unit": "Gb/s", "vs_baseline": 0.0,
+                          "message_len": message_len, "ber_at_5p5dB": ber,
+                          "error": "decode faster than timing resolution; "
+                                   "use a larger message_len"}))
+        return 0
 
     if ber > 1e-2:
         print(json.dumps({"metric": "decoded_throughput_soft8_b32",

@@ -8,16 +8,15 @@ Usage:  python -m tpu_viterbi.cli -n 1000000 -s 5.5 -i s4 -m b32 -v
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 
 import numpy as np
 
-from .chain import (AddNoise, ConvolutionalEncoder, Pipeline, RandBitGen,
+from .chain import (AddNoise, ConvolutionalEncoder, RandBitGen,
                     SoftDecisionPacker, snr_to_sigma)
 from .chain.decoder_element import ViterbiDecoder
-from .config import (ChannelIn, CompMode, DecodeOut, DecoderConfig, Metric,
-                     options_valid)
+from .config import (ChannelIn, CompMode, DecodeOut, DecoderConfig,
+                     Metric)
 from .utils.bits import count_bit_errors
 
 _CHANNEL_NAMES = {"HARD": ChannelIn.HARD, "h": ChannelIn.HARD,
