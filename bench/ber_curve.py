@@ -33,7 +33,7 @@ def _default_scale(channel_in):
             "SOFT16": 8192.0, "FP32": 4.0}[channel_in.name]
 
 
-def run_point(cfg, message_len, snr_db, seed, backend="auto"):
+def run_point(cfg, message_len, snr_db, seed, backend="auto", dec=None):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +50,8 @@ def run_point(cfg, message_len, snr_db, seed, backend="auto"):
     noisy = add_awgn(k2, coded, snr_to_sigma(snr_db))
     packed = np.asarray(quantize_and_pack(noisy, cfg.channel_in,
                                           _default_scale(cfg.channel_in)))
-    dec = ViterbiTPU(cfg, backend=backend)
+    if dec is None:
+        dec = ViterbiTPU(cfg, backend=backend)
     input_num = 2 * message_len
     out, _ = dec.run(packed, input_num, want_time=False)
     m = cfg.get_message_len(input_num)
@@ -111,9 +112,11 @@ def main(argv=None):
     for spec in args.configs.split(","):
         c, mname = spec.split("/")
         cfg = DecoderConfig(channel_in=chan[c], metric=met[mname])
+        from tpu_viterbi.decoder.api import ViterbiTPU
+        dec = ViterbiTPU(cfg, backend=args.backend)   # one compile per config
         for snr in snrs:
             ben, m = run_point(cfg, args.num, snr, args.seed,
-                               backend=args.backend)
+                               backend=args.backend, dec=dec)
             row = {"config": spec, "snr_db": snr, "ben": int(ben),
                    "bits": int(m), "ber": ben / m}
             if args.golden:
