@@ -25,6 +25,9 @@ import numpy as np
 from ..config import ChannelIn, DecoderConfig
 from .core_xla import decode_packed_xla, plan_blocks
 
+# 2048 balances CPU-path cost against halo overhead; at 32M-bit scale on
+# TPU, dec_len=8192 measures ~7% faster (scripts/sweep2.py — bench.py uses
+# it); pass dec_len explicitly for large production runs
 DEFAULT_DEC_LEN = 2048
 
 
