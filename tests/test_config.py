@@ -97,3 +97,33 @@ def test_pm_norm_stride():
                          metric=Metric.M_B32).pm_norm_stride == 16384
     assert DecoderConfig(channel_in=ChannelIn.HARD,
                          metric=Metric.M_FP16).pm_norm_stride == 256
+
+
+def test_every_valid_config_decodes():
+    """The analog of the reference's INSTANTIATE_ALL block
+    (viterbi.cu:240-262): every one of the 42 buildable configs must
+    actually decode — noiseless coded input comes back exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_viterbi.chain.encode import conv_encode_np
+    from tpu_viterbi.chain.quantize import quantize_and_pack
+    from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
+    from tpu_viterbi.utils.bits import unpack_msb_first
+
+    scales = {ChannelIn.HARD: 1.0, ChannelIn.SOFT4: 4.0,
+              ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0,
+              ChannelIn.FP32: 4.0}
+    rng = np.random.default_rng(3)
+    n = 2048
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    sym = 2 * conv_encode_np(bits).astype(np.float32) - 1
+
+    for cfg in ALL_VALID_CONFIGS:
+        packed = quantize_and_pack(jnp.asarray(sym), cfg.channel_in,
+                                   scales[cfg.channel_in])
+        m = cfg.get_message_len(2 * n)
+        plan = plan_blocks(m, cfg.bits_per_pack, 512)
+        out = np.asarray(decode_packed_xla(packed, cfg, plan))
+        got = unpack_msb_first(out, cfg.bits_per_pack)[:m]
+        assert np.array_equal(got, bits[cfg.extra_l: cfg.extra_l + m]), cfg
