@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ChannelIn, DecoderConfig
+from ..config import ChannelIn
 from .pipeline import ComputeElement
 
 _QUANT_PARAMS = {

@@ -59,8 +59,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import (ChannelIn, DecodeOut, DecoderConfig, FP_PRECISION,
-                      Metric, NUM_STATES)
+from ..config import ChannelIn, DecoderConfig, NUM_STATES
 from .core_xla import (WARMUP, BlockPlan, assemble_output,
                        validate_plan)
 
@@ -416,7 +415,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
 # word-granular staging lives in core_xla (backend-agnostic); re-exported
 # here under its historical name
 from .core_xla import stage_layout_packed as _stage_layout_packed  # noqa: E402
-from .core_xla import stage_words as _stage_words  # noqa: E402
+from .core_xla import stage_words as _stage_words  # noqa: E402,F401 (used by the TPU qualification scripts)
 
 
 def _stage_tr_kernel(body_ref, halo_ref, o_ref):

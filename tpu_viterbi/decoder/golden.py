@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import NUM_STATES, ChannelIn, DecoderConfig
+from ..config import NUM_STATES
 from ..trellis import BRANCH_CODE_J0, BRANCH_CODE_J1
 
 _PRED0 = np.arange(NUM_STATES) >> 1          # low-half predecessor index

@@ -19,7 +19,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..config import ChannelIn, DecoderConfig
+from ..config import DecoderConfig
 from .api import DEFAULT_DEC_LEN, ViterbiTPU
 
 

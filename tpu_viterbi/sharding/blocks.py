@@ -15,7 +15,6 @@ exchange — laid out to ride ICI, never DCN-wide collectives.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
