@@ -40,7 +40,7 @@ scripts/acs_variants_bench.py and scripts/op_cost_probe.py):
   permutation write that lands the vector back in natural order.  This is
   the TPU replacement for the reference's __shfl_xor_sync butterfly network
   and 6-cycle shuffle-exchange layout (viterbiACS.cuh:418-480); measured
-  89 -> 27 ns/stage per 128-block tile end to end.
+  89 -> 25 ns/stage per 128-block tile end to end (with word-mode input).
 
 Supported configs: all channels, both pack widths, and every metric
 dtype — b16/fp16 metric modes decode bit-identically to int32 by the
