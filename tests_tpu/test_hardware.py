@@ -1,0 +1,52 @@
+"""On-hardware qualification as pytest (run manually, serially, on a TPU):
+
+    timeout 3600 python -m pytest tests_tpu/ -x -q
+
+Unlike tests/ (hermetic CPU, see tests/conftest.py), this directory runs
+on whatever accelerator the process sees and wraps the qualification
+scripts in scripts/README.md.  Each test is skipped off-TPU.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _on_tpu():
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
+
+
+requires_tpu = pytest.mark.skipif(not _on_tpu(), reason="needs a TPU")
+
+
+def _run(script, *args):
+    r = subprocess.run([sys.executable, os.path.join(REPO, "scripts",
+                                                     script), *args],
+                       capture_output=True, text=True, timeout=1700)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout[-2000:]}\n" \
+                              f"{r.stderr[-2000:]}"
+
+
+@requires_tpu
+def test_kernel_matches_golden():
+    _run("check_pallas.py")
+
+
+@requires_tpu
+def test_word_mode_matches_value_mode():
+    _run("check_word_mode.py")
+
+
+@requires_tpu
+def test_metric_dtypes_equivalent():
+    _run("check_metric_equiv.py")
+
+
+@requires_tpu
+def test_randomized_fuzz():
+    _run("fuzz_tpu.py", "16", "9000")
