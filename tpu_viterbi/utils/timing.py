@@ -54,9 +54,18 @@ def time_in_graph(fn: Callable, x, k1: int = 1, k2: int = 4,
     g2 = _repeat_graph(fn, k2)
     _run_fetch(g1, x)  # compile
     _run_fetch(g2, x)
+
+    def perturb(x, j):
+        # every timed dispatch must be first-seen: the relay memoizes
+        # identical (program, input) pairs, so repeats need fresh inputs
+        return jax.tree.map(
+            lambda a: a if a.dtype == jnp.bool_
+            else a + jnp.asarray(j + 1, a.dtype), x)
+
     best = float("inf")
-    for _ in range(repeats):
-        t1 = _run_fetch(g1, x)
-        t2 = _run_fetch(g2, x)
+    for j in range(repeats):
+        xj = jax.block_until_ready(perturb(x, j))
+        t1 = _run_fetch(g1, xj)
+        t2 = _run_fetch(g2, xj)
         best = min(best, (t2 - t1) / (k2 - k1))
     return max(best, 1e-9)
