@@ -151,6 +151,27 @@ def test_renorm_long_run_int16(rng):
     assert ber < 5e-3, ber
 
 
+def test_run_times_single_dispatch_and_slope_mode():
+    """run() reports a positive wall time for exactly one pre-compiled
+    dispatch, and measure_kernel_time returns an overhead-cancelled
+    per-decode figure (both decode correctly)."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    n = 2048
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    coded = conv_encode_np(bits).astype(np.float32)
+    packed = quantize_and_pack(jnp.asarray(2 * coded - 1), cfg.channel_in, 4.0)
+    dec = ViterbiTPU(cfg, dec_len=256, backend="xla")
+    input_num = 2 * n
+    out, t = dec.run(np.asarray(packed), input_num)
+    assert t is not None and t > 0
+    m = cfg.get_message_len(input_num)
+    got = unpack_msb_first(out, 32)[:m]
+    assert np.array_equal(got, bits[EXTRA_L: EXTRA_L + m])
+    ks = dec.measure_kernel_time(input_num, repeats=1)
+    assert isinstance(ks, float) and ks > 0
+
+
 def test_run_rejects_short_input():
     import pytest as _pytest
 

@@ -60,6 +60,11 @@ def parse_args(argv=None):
                    help="output bits decoded per block")
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
+    p.add_argument("--time-mode", choices=["wall", "slope"], default="wall",
+                   help="kernel-time measurement: 'wall' times each "
+                        "dispatch (cudaEvent-style); 'slope' cancels fixed "
+                        "dispatch latency by repeat-count differencing — "
+                        "use on high-latency remote/dev backends")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR "
                         "(the reference's -lineinfo/Nsight analog)")
@@ -68,7 +73,7 @@ def parse_args(argv=None):
 
 def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
                  verbose: bool = False, seed=None, dec_len=None,
-                 backend: str = "auto"):
+                 backend: str = "auto", time_mode: str = "wall"):
     """Build and run the full chain; returns (BEN, pipeline, decoded_words).
     (reference: main.cpp:119-172 runPipeline)"""
     if seed is None:
@@ -78,7 +83,8 @@ def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
     conv_enc = ConvolutionalEncoder()
     noise = AddNoise(snr_to_sigma(snr), seed=seed + 1)
     packer = SoftDecisionPacker(cfg.channel_in, scale=40000.0)
-    viterbi = ViterbiDecoder(cfg, backend=backend, **kwargs)
+    viterbi = ViterbiDecoder(cfg, backend=backend, time_mode=time_mode,
+                             **kwargs)
 
     pipe = rand_gen.probe() | conv_enc | noise | packer | viterbi
     result = pipe.run()
@@ -156,7 +162,8 @@ def main(argv=None) -> int:
     with trace_cm:
         ben, _, _ = run_pipeline(args.num, args.snr, cfg,
                                  verbose=args.verbose, seed=args.seed,
-                                 dec_len=args.dec_len, backend=args.backend)
+                                 dec_len=args.dec_len, backend=args.backend,
+                                 time_mode=args.time_mode)
     ber = ben / args.num
 
     print("Pipeline executed.")

@@ -7,10 +7,15 @@ returning packed decoded words plus a kernel time, and the size calculators
 framing constants (extra_l, extra_r, bits_per_pack, enc_data_per_pack, ...)
 live on the DecoderConfig.
 
-TPU semantics: ``run`` device-puts the packed input, executes the jitted
-block-parallel decode, and blocks until ready; the reported kernel time spans
-only the compiled decode (compare: cudaEvent around the kernel launch,
-viterbi.cu:224-232, excluding host<->device copies).
+TPU semantics: ``run`` device-puts the packed input, executes the
+AOT-compiled block-parallel decode, and blocks until ready; the reported
+kernel time spans only the compiled decode (compare: cudaEvent around the
+kernel launch, viterbi.cu:224-232, excluding host<->device copies).
+Compilation happens ahead of time (``jit(...).lower(...).compile()``), so
+the timed dispatch is a genuine first execution — never a warm repeat a
+memoizing dev backend could short-circuit.  For backends whose per-dispatch
+latency swamps the decode itself, ``measure_kernel_time`` gives an
+overhead-cancelled per-decode figure (slope methodology).
 """
 
 from __future__ import annotations
@@ -37,12 +42,25 @@ class ViterbiTPU:
     def __init__(self, config: DecoderConfig = DecoderConfig(),
                  input_num: Optional[int] = None,
                  dec_len: int = DEFAULT_DEC_LEN,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 time_mode: str = "wall"):
         """backend: 'auto' | 'pallas' | 'xla' — 'auto' uses the Pallas kernel
-        on TPU when the config/shape supports it, else the XLA scan core."""
+        on TPU when the config/shape supports it, else the XLA scan core.
+
+        time_mode: 'wall' times each ``run`` dispatch directly (right on
+        backends where block_until_ready really blocks); 'slope' reports an
+        overhead-cancelled per-decode figure measured once per input size
+        via ``measure_kernel_time`` (right on high-latency / async-dispatch
+        dev backends, where single-call wall time reads RPC overhead — or
+        nothing at all)."""
+        if time_mode not in ("wall", "slope"):
+            raise ValueError(f"time_mode must be 'wall' or 'slope', "
+                             f"got {time_mode!r}")
         self.config = config
         self.dec_len = int(dec_len)
         self.backend = backend
+        self.time_mode = time_mode
+        self._slope_cache: dict = {}
         self._decode_fn = None
         if input_num is not None:
             # Pre-sizing hook (reference pre-allocating ctor, viterbi.cu:31-36);
@@ -91,20 +109,38 @@ class ViterbiTPU:
         return ok
 
     _input_num: Optional[int] = None
-    _compiled: bool = False
+    _exec = None
+
+    def _input_dtype(self):
+        return (jnp.float32 if self.config.channel_in == ChannelIn.FP32
+                else jnp.int32)
 
     def _warm(self, input_num: int):
-        if self._decode_fn is None or self._input_num != input_num:
+        """Build and AOT-compile the decode for this input size (the analog
+        of the reference's pre-allocating constructor, viterbi.cu:31-36 —
+        there memory, here the compile cache).  Compiling ahead of time
+        keeps compilation strictly outside the timed region of ``run``
+        without spending a throwaway execution."""
+        if self._exec is None or self._input_num != input_num:
             self._decode_fn, self._plan = self._build(input_num)
+            words = self.config.get_input_words(input_num)
+            aval = jax.ShapeDtypeStruct((words,), self._input_dtype())
+            self._exec = self._decode_fn.lower(aval).compile()
             self._input_num = input_num
-            self._compiled = False
 
     def run(self, packed_input, input_num: int,
             want_time: bool = True) -> Tuple[np.ndarray, Optional[float]]:
         """Decode `input_num` encoded bits from packed channel words.
 
         Returns (packed_output_words, kernel_seconds).  Output dtype is
-        uint32 for O_B32 and uint16 for O_B16 (reference decPack_t)."""
+        uint32 for O_B32 and uint16 for O_B16 (reference decPack_t).
+
+        The time spans exactly one execution of the pre-compiled decode
+        (input already device-resident, output blocked-on) — the cudaEvent
+        boundary of the reference (viterbi.cu:224-232).  On dev backends
+        with a large fixed dispatch latency (e.g. a TPU relay), that
+        per-call floor is included; use ``measure_kernel_time`` for an
+        overhead-cancelled figure there."""
         cfg = self.config
         if cfg.get_message_len(input_num) <= 0:
             raise ValueError(
@@ -118,27 +154,43 @@ class ViterbiTPU:
             raise ValueError(
                 f"packed_input has {n_in} words, need {words} for "
                 f"input_num={input_num} ({cfg.channel_in.name})")
-        if cfg.channel_in == ChannelIn.FP32:
-            x = jnp.asarray(packed_input, dtype=jnp.float32)[:words]
-        else:
-            x = jnp.asarray(packed_input, dtype=jnp.int32)[:words]
+        x = jnp.asarray(packed_input, dtype=self._input_dtype())[:words]
         self._warm(input_num)
         x = jax.device_put(x)
         jax.block_until_ready(x)
-        if want_time and not self._compiled:
-            # compile (and first-run) outside the timed region, mirroring the
-            # cudaEvent boundary that times only the kernel (viterbi.cu:224-232)
-            # NOTE: on dev backends that memoize identical dispatches (the
-            # axon relay), the timed repeat below reads the dispatch floor,
-            # not compute — use bench.py's slope methodology for honest
-            # numbers there; on real PJRT backends this times the decode
-            jax.block_until_ready(self._decode_fn(x))
         t = None
-        if want_time:
+        if want_time and self.time_mode == "wall":
             start = time.perf_counter()
-            out = jax.block_until_ready(self._decode_fn(x))
+            out = jax.block_until_ready(self._exec(x))
             t = time.perf_counter() - start
         else:
-            out = jax.block_until_ready(self._decode_fn(x))
-        self._compiled = True
+            out = jax.block_until_ready(self._exec(x))
+            if want_time:                       # slope mode, cached per size
+                t = self.measure_kernel_time(input_num)
         return np.asarray(out), t
+
+    def measure_kernel_time(self, input_num: int, repeats: int = 3,
+                            seed: int = 0) -> float:
+        """Overhead-cancelled seconds per decode of ``input_num`` encoded
+        bits (slope methodology: the decode is repeated k times inside one
+        compiled graph with perturbed inputs and two repeat counts are
+        differenced, cancelling fixed dispatch+fetch latency — see
+        utils/timing.time_in_graph).  This is the honest per-call figure on
+        backends where ``run``'s single-dispatch wall time is dominated by
+        RPC latency or where repeat dispatches are memoized.  Cached per
+        input size (the decode is deterministic in cost for a given plan)."""
+        if input_num in self._slope_cache:
+            return self._slope_cache[input_num]
+        self._warm(input_num)
+        words = self.config.get_input_words(input_num)
+        rng = np.random.default_rng(seed)
+        if self.config.channel_in == ChannelIn.FP32:
+            x = jnp.asarray(rng.standard_normal(words), jnp.float32)
+        else:
+            x = jnp.asarray(
+                rng.integers(-2 ** 31, 2 ** 31, size=words), jnp.int32)
+        from ..utils.timing import time_in_graph
+        t = time_in_graph(self._decode_fn, jax.device_put(x),
+                          repeats=repeats)
+        self._slope_cache[input_num] = t
+        return t
