@@ -7,6 +7,17 @@ convolutional code SDR chain (bit source -> encoder -> AWGN -> quantize/pack
 and multi-chip scaling over a jax.sharding mesh.
 """
 
+import jax as _jax
+
+# The legacy (non-partitionable) threefry lowering compiles pathologically
+# on TPU backends at production sizes — measured 60-350 s server-side
+# compile for one 32M-element draw vs 1.7 s with the partitionable
+# lowering (same statistical quality).  Partitionable keys are also what
+# makes sharded in-graph workload generation possible (each mesh device
+# computes its slice of the stream independently, no gather), which the
+# multi-host chain relies on (sharding/, scripts/pod_decode_example.py).
+_jax.config.update("jax_threefry_partitionable", True)
+
 from .config import (ChannelIn, CompMode, DecodeOut, DecoderConfig, Metric,
                      options_valid)
 from .decoder.api import ViterbiTPU
