@@ -16,10 +16,13 @@ over ICI), BER check — on whatever devices the process sees:
   # --coordinator host0:1234 --num-processes N --process-id $i):
   python scripts/pod_decode_example.py -n 512000000
 
-Every process builds the same global workload from the shared seed
-(message bits -> conv encode -> AWGN -> quantize/pack on device, vectorized
-— generation is embarrassingly parallel and could equally be sharded
-per-host); the decode itself is sharded over all devices of the mesh.
+By default the whole chain (generation -> decode -> BER count) runs
+in-graph on the mesh (sharding/simulate.py): each device generates its
+slice of the shared-seed random stream (partitionable threefry), so no
+workload bytes ever cross host<->device or DCN — only the scalar BEN
+comes back.  --host-data switches to the legacy path where every process
+builds the global workload on its host and ships it in (useful for
+decoding externally supplied data).
 """
 
 import argparse
@@ -41,6 +44,9 @@ def main():
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--host-data", action="store_true",
+                   help="build the workload on the host and ship it in "
+                        "(default: fully in-graph on the mesh)")
     args = p.parse_args()
 
     from tpu_viterbi.sharding.mesh import initialize_distributed
@@ -70,20 +76,29 @@ def main():
               f"channel={chan.name}", flush=True)
 
     key = jax.random.PRNGKey(args.seed)
-    k1, k2 = jax.random.split(key)
-    bits = random_bits(k1, args.num)
-    coded = conv_encode(bits)
-    noisy = add_awgn(k2, coded, snr_to_sigma(args.snr))
-    packed = np.asarray(quantize_and_pack(noisy, chan, scale))
-    bits = np.asarray(bits)
+    if args.host_data:
+        k1, k2 = jax.random.split(key)
+        bits = random_bits(k1, args.num)
+        coded = conv_encode(bits)
+        noisy = add_awgn(k2, coded, snr_to_sigma(args.snr))
+        packed = np.asarray(quantize_and_pack(noisy, chan, scale))
+        bits = np.asarray(bits)
 
-    t0 = time.time()
-    out, m = decode_sharded(packed, 2 * args.num, cfg, mesh,
-                            dec_len=args.dec_len)
-    dt = time.time() - t0
+        t0 = time.time()
+        out, m = decode_sharded(packed, 2 * args.num, cfg, mesh,
+                                dec_len=args.dec_len)
+        dt = time.time() - t0
 
-    ben = count_bit_errors(out, cfg.bits_per_pack, bits[cfg.extra_l:],
-                           offset=0)
+        ben = count_bit_errors(out, cfg.bits_per_pack, bits[cfg.extra_l:],
+                               offset=0)
+    else:
+        from tpu_viterbi.sharding.simulate import build_sharded_simulation
+        fn, m = build_sharded_simulation(cfg, args.num, mesh,
+                                         snr_db=args.snr, scale=scale,
+                                         dec_len=args.dec_len)
+        t0 = time.time()
+        ben = int(jax.block_until_ready(fn(key)))
+        dt = time.time() - t0
     if jax.process_index() == 0:
         print(f"decoded {m} bits on {n_dev} devices in {dt*1e3:.1f} ms "
               f"(first call includes compile)")

@@ -85,3 +85,85 @@ def test_sharded_hard_channel():
 def test_mesh_axis_name():
     mesh = make_block_mesh(jax.devices()[:4])
     assert mesh.shape == {"blocks": 4}
+
+
+# --- fully in-graph sharded simulation (sharding/simulate.py) ---
+
+def test_ingraph_generation_identical_across_shardings():
+    """Partitionable threefry: the sharded in-graph bit stream must equal
+    the single-device stream value-for-value (each device computes its
+    slice of the same counter-mode stream)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_viterbi.chain.source import random_bits
+
+    n = 8 * 4096
+    key = jax.random.PRNGKey(3)
+    single = np.asarray(jax.jit(lambda k: random_bits(k, n))(key))
+
+    mesh = make_block_mesh(jax.devices()[:8])
+    spec = NamedSharding(mesh, P("blocks"))
+
+    @jax.jit
+    def gen(k):
+        return jax.lax.with_sharding_constraint(random_bits(k, n), spec)
+
+    sharded = np.asarray(gen(key))
+    assert np.array_equal(single, sharded)
+
+
+def test_ingraph_simulation_noiseless_exact():
+    import math
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, m = simulate_sharded(cfg, 8 * 2048, mesh, snr_db=math.inf,
+                              seed=5, dec_len=512)
+    assert m == cfg.get_message_len(2 * 8 * 2048)
+    assert ben == 0
+
+
+def test_ingraph_simulation_matches_host_path():
+    """The in-graph chain (generate+decode+count on the mesh) must produce
+    exactly the BEN of the host-path replication: same key through the same
+    chain ops on a single device, packed input fed to the same sharded
+    decoder, errors counted on host."""
+    import jax.numpy as jnp
+    from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
+    from tpu_viterbi.chain.channel import snr_to_sigma
+    from tpu_viterbi.chain.source import random_bits
+    from tpu_viterbi.sharding.simulate import build_sharded_simulation
+    from tpu_viterbi.utils.bits import count_bit_errors
+
+    n = 8 * 1024
+    snr = -1.0  # low enough that errors exist (waterfall sits at -1..+2)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    mesh = make_block_mesh(jax.devices()[:8])
+    key = jax.random.PRNGKey(17)
+
+    fn, m = build_sharded_simulation(cfg, n, mesh, snr_db=snr, dec_len=256)
+    ben_graph = int(fn(key))
+    assert ben_graph > 0
+
+    k1, k2 = jax.random.split(key)
+    bits = np.asarray(random_bits(k1, n))
+    coded = conv_encode(jnp.asarray(bits))
+    noisy = add_awgn(k2, coded, snr_to_sigma(snr))
+    packed = np.asarray(quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0))
+    out, m2 = decode_sharded(packed, 2 * n, cfg, mesh, dec_len=256)
+    assert m2 == m
+    ben_host = count_bit_errors(out, cfg.bits_per_pack, bits[EXTRA_L:],
+                                offset=0)
+    assert ben_graph == ben_host
+
+
+def test_ingraph_simulation_b16_output():
+    import math
+    from tpu_viterbi.config import DecodeOut
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+
+    cfg = DecoderConfig(channel_in=ChannelIn.HARD, decode_out=DecodeOut.O_B16)
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, _ = simulate_sharded(cfg, 8 * 1024, mesh, snr_db=math.inf,
+                              seed=9, dec_len=256)
+    assert ben == 0

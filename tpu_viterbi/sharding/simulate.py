@@ -1,0 +1,128 @@
+"""Fully in-graph sharded simulation: workload generation + decode + BER
+accounting on the device mesh, with no host data movement.
+
+The reference pipeline builds the whole workload on the host and copies it
+to the device (src/main.cpp:119-172, src/viterbiDF.h). At pod scale that
+plumbing becomes the bottleneck (SURVEY.md §7.3 #6): tens of Gb of packed
+input would cross DCN just to be decoded in milliseconds. The TPU-native
+answer is to keep the entire chain
+
+    key -> message bits -> conv encode -> AWGN -> quantize/pack
+        -> sharded decode (shard_map + ppermute halo)
+        -> on-device bit-error count
+
+inside ONE jitted program over the mesh. Generation uses the partitionable
+threefry lowering (enabled in tpu_viterbi/__init__.py), so every device
+computes exactly its slice of the *same* global random stream that a
+single-device run would draw — the generated bits are bit-identical across
+mesh shapes, which the tests exploit. GSPMD partitions the elementwise
+chain ops along the 'blocks' axis; the only cross-device traffic is the
+tiny edge realignment of the encoder's K-1-bit shifted views, the 64-stage
+decode halo (one ppermute over ICI), and the scalar BEN all-reduce.
+
+Only two int32 scalars (BEN, checksum-free message length is static) leave
+the device per simulated message.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..chain.channel import add_awgn, snr_to_sigma
+from ..chain.encode import conv_encode
+from ..chain.quantize import pack_words, quantize_and_pack
+from ..chain.source import random_bits
+from ..config import ChannelIn, DecoderConfig
+from .blocks import build_sharded_decoder, sharded_stage_count
+from .mesh import BLOCK_AXIS
+
+# channel scale the CLI driver uses per input format (reference scale
+# 40000.0 saturates every soft format at main.cpp:137; these keep the soft
+# field in range so the BER waterfall is meaningful — see bench/ber_curve.py)
+DEFAULT_SCALES = {
+    ChannelIn.HARD: 1.0,
+    ChannelIn.SOFT4: 4.0,
+    ChannelIn.SOFT8: 32.0,
+    ChannelIn.SOFT16: 8192.0,
+    ChannelIn.FP32: 4.0,
+}
+
+
+def _ref_words(bits: jnp.ndarray, cfg: DecoderConfig,
+               message_len: int) -> jnp.ndarray:
+    """Ground-truth decoded stream as bpp-bit packs (decoded bit i equals
+    message bit i + extra_l, MSB earliest — main.cpp:160-161)."""
+    span = bits[cfg.extra_l: cfg.extra_l + message_len].astype(jnp.uint32)
+    w32 = pack_words(span, 1)
+    if cfg.bits_per_pack == 32:
+        return w32
+    hi = (w32 >> jnp.uint32(16)).astype(jnp.uint32)
+    lo = (w32 & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+    return jnp.stack([hi, lo], axis=1).reshape(-1)
+
+
+def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
+                             snr_db: float = 5.5, scale: float = None,
+                             dec_len: int = 2048,
+                             return_output: bool = False):
+    """Returns (jitted simulate(key), message_len_out).
+
+    simulate(key) runs the full generate->decode->count chain on the mesh
+    and returns the bit-error count as an int32 scalar (plus the sharded
+    packed output words when return_output=True). snr_db=math.inf means
+    a noiseless channel (sigma=0 passthrough, viterbiDF.h:79-85).
+    """
+    num_devices = mesh.shape[BLOCK_AXIS]
+    total_stages = message_len
+    sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack)
+    input_num = 2 * total_stages
+    m = cfg.get_message_len(input_num)
+    if m <= 0:
+        raise ValueError(f"message_len {message_len} too short to decode")
+
+    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
+    dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
+    words_needed = sd * num_devices * 2 // dpp
+    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
+    if scale is None:
+        scale = DEFAULT_SCALES[cfg.channel_in]
+    block_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+
+    def simulate(key):
+        k1, k2 = jax.random.split(key)
+        bits = random_bits(k1, message_len)
+        bits = jax.lax.with_sharding_constraint(bits, block_sharding)
+        coded = conv_encode(bits)
+        noisy = add_awgn(k2, coded, sigma)
+        packed = quantize_and_pack(noisy, cfg.channel_in, scale)
+        pad = words_needed - packed.shape[0]
+        if pad:
+            packed = jnp.pad(packed, (0, pad))
+        packed = jax.lax.with_sharding_constraint(packed, block_sharding)
+        out = decode_fn(packed)
+
+        valid = out[: m // cfg.bits_per_pack].astype(jnp.uint32)
+        ref = _ref_words(bits, cfg, m)
+        ben = jnp.sum(jax.lax.population_count(valid ^ ref)
+                      .astype(jnp.int32))
+        if return_output:
+            return ben, out
+        return ben
+
+    return jax.jit(simulate), m
+
+
+def simulate_sharded(cfg: DecoderConfig, message_len: int, mesh,
+                     snr_db: float = 5.5, seed: int = 0,
+                     scale: float = None,
+                     dec_len: int = 2048) -> Tuple[int, int]:
+    """Convenience one-shot: returns (bit_error_count, message_len)."""
+    fn, m = build_sharded_simulation(cfg, message_len, mesh, snr_db=snr_db,
+                                     scale=scale, dec_len=dec_len)
+    ben = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed))))
+    return ben, m
