@@ -50,3 +50,23 @@ def test_metric_dtypes_equivalent():
 @requires_tpu
 def test_randomized_fuzz():
     _run("fuzz_tpu.py", "16", "9000")
+
+
+@requires_tpu
+def test_ingraph_simulation_on_chip():
+    """The fully in-graph chain (sharded generation -> decode -> BEN, one
+    scalar off-device) must run on the real chip over a 1-device mesh and
+    decode error-free at 5.5 dB (validated at 4M bits / 280 s compile,
+    77 ms steady-state per call; kept small here for battery runtime)."""
+    import jax
+
+    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    mesh = make_block_mesh(jax.devices()[:1])
+    ben, m = simulate_sharded(cfg, 500_000, mesh, snr_db=5.5, seed=1,
+                              dec_len=2048)
+    assert m == cfg.get_message_len(1_000_000)
+    assert ben == 0
