@@ -167,3 +167,15 @@ def test_ingraph_simulation_b16_output():
     ben, _ = simulate_sharded(cfg, 8 * 1024, mesh, snr_db=math.inf,
                               seed=9, dec_len=256)
     assert ben == 0
+
+
+def test_ingraph_simulation_fp32_channel():
+    """FP32 channel takes the unpacked float staging path (dpp=1)."""
+    import math
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+
+    cfg = DecoderConfig(channel_in=ChannelIn.FP32)
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, _ = simulate_sharded(cfg, 8 * 1024, mesh, snr_db=math.inf,
+                              seed=2, dec_len=256)
+    assert ben == 0
