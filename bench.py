@@ -41,9 +41,7 @@ def main():
     # NOTE: do NOT enable the persistent compilation cache here — on the
     # axon relay backend cached-executable execution hangs (verified r1).
 
-    from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
-    from tpu_viterbi.chain.channel import snr_to_sigma
-    from tpu_viterbi.chain.source import random_bits
+    from tpu_viterbi.chain import packed_workload
     from tpu_viterbi.config import ChannelIn, DecoderConfig
     from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
 
@@ -61,12 +59,10 @@ def main():
 
         @jax.jit
         def make_workload(key):
-            """-> (packed channel words, ground-truth output words)."""
-            k1, k2 = jax.random.split(key)
-            bits = random_bits(k1, msg_len)
-            coded = conv_encode(bits)
-            noisy = add_awgn(k2, coded, snr_to_sigma(snr_db))
-            packed = quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0)
+            """-> (packed channel words, ground-truth output words); flat
+            layouts end to end (chain/workload.py)."""
+            bits, packed = packed_workload(key, msg_len, ChannelIn.SOFT8,
+                                           snr_db, 32.0)
             # reference-truth words: bits[extra_l:extra_l+m], MSB-first packs
             from tpu_viterbi.chain.quantize import pack_words
             ref_words = pack_words(

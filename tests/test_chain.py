@@ -111,3 +111,71 @@ def test_pipeline_probe_and_timing():
     for e in pipe.elements:
         assert "Elapsed run time" in e.status
     assert any("Elapsed run time" in ln for ln in pipe.status_lines())
+
+
+# --- production workload builder (chain/workload.py) ---
+
+def test_packed_workload_noiseless_matches_element_pipeline(rng):
+    """The flat-layout builder must produce bit-identical packed words to
+    the element pipeline when noiseless (same key -> same bits; the
+    interleave is ridden on the pack matmul)."""
+    import math
+    from tpu_viterbi.chain import add_awgn, packed_workload
+
+    scales = {ChannelIn.HARD: 1.0, ChannelIn.SOFT4: 4.0,
+              ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0,
+              ChannelIn.FP32: 4.0}
+    for chan, scale in scales.items():
+        for n in (1000, 2048):  # non-multiple and multiple of a word
+            key = jax.random.PRNGKey(21)
+            bits, packed = packed_workload(key, n, chan, math.inf, scale)
+            k1, _, _ = jax.random.split(key, 3)
+            from tpu_viterbi.chain.source import random_bits
+            bits_ref = random_bits(k1, n)
+            assert np.array_equal(np.asarray(bits), np.asarray(bits_ref))
+            coded = conv_encode(bits_ref)
+            sym = add_awgn(jax.random.PRNGKey(0), coded, 0.0)
+            packed_ref = quantize_and_pack(sym, chan, scale)
+            assert np.allclose(np.asarray(packed), np.asarray(packed_ref)), \
+                f"{chan.name} n={n}"
+
+
+def test_pack_words_2streams_matches_interleaved(rng):
+    """Strided 2-stream packing == pack_words on the interleaved stream,
+    for every field width."""
+    from tpu_viterbi.chain import pack_words_2streams
+    from tpu_viterbi.chain.quantize import pack_words
+
+    for width in (1, 4, 8, 16):
+        n = 977  # odd, not a multiple of anything relevant
+        q0 = rng.integers(0, 1 << width, n).astype(np.uint32)
+        q1 = rng.integers(0, 1 << width, n).astype(np.uint32)
+        inter = np.empty(2 * n, np.uint32)
+        inter[0::2] = q0
+        inter[1::2] = q1
+        per_word = 32 // width
+        n_pad = (-2 * n) % per_word
+        inter_p = np.pad(inter, (0, n_pad))
+        ref = np.asarray(pack_words(jnp.asarray(inter_p), width))
+        got = np.asarray(pack_words_2streams(jnp.asarray(q0),
+                                             jnp.asarray(q1), width))
+        assert np.array_equal(got, ref), f"width={width}"
+
+
+def test_packed_workload_noisy_decodes():
+    """Noisy builder workload must decode error-free at high SNR through
+    the production decoder (statistical path sanity)."""
+    from tpu_viterbi.chain import packed_workload
+    from tpu_viterbi.config import DecoderConfig
+    from tpu_viterbi.decoder.api import ViterbiTPU
+    from tpu_viterbi.utils.bits import count_bit_errors
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    n = 20000
+    bits, packed = packed_workload(jax.random.PRNGKey(4), n,
+                                   ChannelIn.SOFT8, 6.0, 32.0)
+    dec = ViterbiTPU(cfg, dec_len=1024, backend="xla")
+    out, _ = dec.run(np.asarray(packed), 2 * n)
+    ben = count_bit_errors(out, cfg.bits_per_pack,
+                           np.asarray(bits)[cfg.extra_l:], offset=0)
+    assert ben == 0

@@ -128,10 +128,7 @@ def test_ingraph_simulation_matches_host_path():
     exactly the BEN of the host-path replication: same key through the same
     chain ops on a single device, packed input fed to the same sharded
     decoder, errors counted on host."""
-    import jax.numpy as jnp
-    from tpu_viterbi.chain import add_awgn, conv_encode, quantize_and_pack
-    from tpu_viterbi.chain.channel import snr_to_sigma
-    from tpu_viterbi.chain.source import random_bits
+    from tpu_viterbi.chain import packed_workload
     from tpu_viterbi.sharding.simulate import build_sharded_simulation
     from tpu_viterbi.utils.bits import count_bit_errors
 
@@ -145,11 +142,8 @@ def test_ingraph_simulation_matches_host_path():
     ben_graph = int(fn(key))
     assert ben_graph > 0
 
-    k1, k2 = jax.random.split(key)
-    bits = np.asarray(random_bits(k1, n))
-    coded = conv_encode(jnp.asarray(bits))
-    noisy = add_awgn(k2, coded, snr_to_sigma(snr))
-    packed = np.asarray(quantize_and_pack(noisy, ChannelIn.SOFT8, 32.0))
+    bits, packed = packed_workload(key, n, ChannelIn.SOFT8, snr, 32.0)
+    bits, packed = np.asarray(bits), np.asarray(packed)
     out, m2 = decode_sharded(packed, 2 * n, cfg, mesh, dec_len=256)
     assert m2 == m
     ben_host = count_bit_errors(out, cfg.bits_per_pack, bits[EXTRA_L:],

@@ -29,8 +29,14 @@ _TAPS0 = _tap_offsets(POLY1)
 _TAPS1 = _tap_offsets(POLY2)
 
 
-def conv_encode(bits: jnp.ndarray) -> jnp.ndarray:
-    """Encode (n,) {0,1} bits -> (2n,) coded bits, interleaved [out0, out1]."""
+def conv_encode_streams(bits: jnp.ndarray):
+    """Encode (n,) {0,1} bits -> two (n,) parity streams (out0, out1),
+    NOT interleaved.  This is the layout-friendly form for TPU: both
+    streams stay flat, whereas materializing the interleaved (n, 2) pair
+    array pads the minor dim 2 -> 128 lanes under TPU tiling (64x memory
+    blowup — 131 GB at 256M bits; see chain/workload.py which packs the
+    streams into interleaved words without ever forming the value
+    stream)."""
     bits = bits.astype(jnp.uint8)
     n = bits.shape[0]
     padded = jnp.pad(bits, (CONST_LEN - 1, 0))  # bits[t-d] with zeros for t<d
@@ -41,8 +47,16 @@ def conv_encode(bits: jnp.ndarray) -> jnp.ndarray:
             acc = acc ^ padded[CONST_LEN - 1 - d: CONST_LEN - 1 - d + n]
         return acc
 
-    out0 = parity(_TAPS0)
-    out1 = parity(_TAPS1)
+    return parity(_TAPS0), parity(_TAPS1)
+
+
+def conv_encode(bits: jnp.ndarray) -> jnp.ndarray:
+    """Encode (n,) {0,1} bits -> (2n,) coded bits, interleaved [out0, out1].
+
+    Fine up to a few tens of Mb; at production scale prefer
+    chain/workload.py, which avoids the padded (n, 2) intermediate."""
+    out0, out1 = conv_encode_streams(bits)
+    n = out0.shape[0]
     return jnp.stack([out0, out1], axis=1).reshape(2 * n)
 
 

@@ -29,24 +29,29 @@ _QUANT_PARAMS = {
 }
 
 
+def quantize_fields(values: jnp.ndarray, channel_in: ChannelIn,
+                    scale: float = 1.0):
+    """(n,) float soft values -> ((n,) uint32 masked field values, width).
+    The scale/round/saturate/mask stage of the packer without the packing
+    (reference: quantFuncs, viterbiDF.h:105-125)."""
+    v = values.astype(jnp.float32) * scale
+    if channel_in == ChannelIn.HARD:
+        return (v > 0.0).astype(jnp.uint32), 1
+    width, lo, hi = _QUANT_PARAMS[channel_in]
+    q = jnp.clip(jnp.rint(v), lo, hi).astype(jnp.int32)
+    return q.astype(jnp.uint32) & jnp.uint32((1 << width) - 1), width
+
+
 def quantize_and_pack(values: jnp.ndarray, channel_in: ChannelIn,
                       scale: float = 1.0) -> jnp.ndarray:
     """(n,) float soft values -> packed int32 words (or scaled float32 for
     FP32).  n is zero-padded up to a whole number of words."""
-    v = values.astype(jnp.float32) * scale
     if channel_in == ChannelIn.FP32:
-        return v
+        return values.astype(jnp.float32) * scale
 
-    if channel_in == ChannelIn.HARD:
-        q = (v > 0.0).astype(jnp.uint32)
-        width = 1
-    else:
-        width, lo, hi = _QUANT_PARAMS[channel_in]
-        q = jnp.clip(jnp.rint(v), lo, hi).astype(jnp.int32)
-        q = q.astype(jnp.uint32) & jnp.uint32((1 << width) - 1)
-
+    q, width = quantize_fields(values, channel_in, scale)
     per_word = 32 // width
-    n = v.shape[0]
+    n = values.shape[0]
     n_pad = (-n) % per_word
     if n_pad:
         q = jnp.pad(q, (0, n_pad))
@@ -101,6 +106,59 @@ def pack_words(q: jnp.ndarray, width: int) -> jnp.ndarray:
                  precision=jax.lax.Precision.HIGHEST)
     words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
     return words.reshape(-1)[:n_words]
+
+
+def _pack_matrices_strided(width: int, stream: int):
+    """Banded matrices like _pack_matrices, but placing this stream's value
+    j into field 2j+stream of each word (the interleave [out0, out1] per
+    stage, viterbiDF.h:157-163, ridden on the pack matmul so the
+    interleaved value stream never materializes)."""
+    vpw = 32 // width
+    p = vpw // 2
+    whi = np.zeros((p * 128, 128), np.float32)
+    wlo = np.zeros((p * 128, 128), np.float32)
+    for lane in range(128):
+        for j in range(p):
+            field = 2 * j + stream
+            low_bit = 32 - (field + 1) * width
+            if low_bit >= 16:
+                whi[lane * p + j, lane] = 2.0 ** (low_bit - 16)
+            else:
+                wlo[lane * p + j, lane] = 2.0 ** low_bit
+    return whi, wlo
+
+
+def pack_words_2streams(q0: jnp.ndarray, q1: jnp.ndarray,
+                        width: int) -> jnp.ndarray:
+    """Two (n,) masked field streams (even/odd stage positions) -> packed
+    uint32 words of the interleaved stream [q0[0], q1[0], q0[1], q1[1], ...],
+    MSB = earliest.  Equals pack_words(interleave(q0, q1), width) without
+    ever forming the (n, 2) pair array (whose minor dim pads 2 -> 128 lanes
+    under TPU tiling: a 64x memory blowup, 131 GB at 256M message bits)."""
+    vpw = 32 // width
+    p = vpw // 2
+    n = q0.shape[0]
+    n_words = -(-2 * n // vpw)
+    span = 128 * p
+    n_pad = (-n) % span
+    word_acc = None
+    for stream, q in enumerate((q0, q1)):
+        qf = q.astype(jnp.float32)
+        if n_pad:
+            qf = jnp.concatenate([qf, jnp.zeros((n_pad,), jnp.float32)])
+        q3 = qf.reshape(-1, span)
+        whi, wlo = _pack_matrices_strided(width, stream)
+        # precision=HIGHEST: exact f32 sums for 16-bit fields (see
+        # pack_words)
+        hi = jnp.dot(q3, jnp.asarray(whi),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        lo = jnp.dot(q3, jnp.asarray(wlo),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+        word_acc = words if word_acc is None else (word_acc | words)
+    return word_acc.reshape(-1)[:n_words]
 
 
 def unpack_to_soft(packed: jnp.ndarray, channel_in: ChannelIn) -> jnp.ndarray:

@@ -26,17 +26,14 @@ the device per simulated message.
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..chain.channel import add_awgn, snr_to_sigma
-from ..chain.encode import conv_encode
-from ..chain.quantize import pack_words, quantize_and_pack
-from ..chain.source import random_bits
+from ..chain.quantize import pack_words
+from ..chain.workload import packed_workload
 from ..config import ChannelIn, DecoderConfig
 from .blocks import build_sharded_decoder, sharded_stage_count
 from .mesh import BLOCK_AXIS
@@ -88,18 +85,14 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
     dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     words_needed = sd * num_devices * 2 // dpp
-    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
     if scale is None:
         scale = DEFAULT_SCALES[cfg.channel_in]
     block_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
 
     def simulate(key):
-        k1, k2 = jax.random.split(key)
-        bits = random_bits(k1, message_len)
+        bits, packed = packed_workload(key, message_len, cfg.channel_in,
+                                       snr_db, scale)
         bits = jax.lax.with_sharding_constraint(bits, block_sharding)
-        coded = conv_encode(bits)
-        noisy = add_awgn(k2, coded, sigma)
-        packed = quantize_and_pack(noisy, cfg.channel_in, scale)
         pad = words_needed - packed.shape[0]
         if pad:
             packed = jnp.pad(packed, (0, pad))
