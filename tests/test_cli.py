@@ -64,3 +64,12 @@ def test_cli_guards_match_options_valid():
                         assert rc != -1, (ch, m, o, c)
                     else:
                         assert rc == -1, (ch, m, o, c)
+
+
+def test_cli_e2e_device_mode(capsys):
+    rc = cli.main(["-n", "40000", "-s", "15", "-i", "s8", "-m", "b32",
+                   "--seed", "5", "--e2e-device", "-v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "BEN: 0" in out
+    assert "In-graph chain over" in out

@@ -68,7 +68,46 @@ def parse_args(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR "
                         "(the reference's -lineinfo/Nsight analog)")
+    p.add_argument("--e2e-device", action="store_true",
+                   help="run the whole chain (generate -> decode -> BER) "
+                        "as one jitted program sharded over all local "
+                        "devices; only the error count leaves the device "
+                        "(sharding/simulate.py)")
     return p.parse_args(argv)
+
+
+def run_e2e_device(args, cfg: DecoderConfig) -> int:
+    """--e2e-device: the fully in-graph sharded simulation. Same final
+    output lines as the pipeline path."""
+    import time
+
+    import jax
+
+    from .decoder.api import DEFAULT_DEC_LEN
+    from .sharding.mesh import make_block_mesh
+    from .sharding.simulate import build_sharded_simulation
+
+    mesh = make_block_mesh()
+    fn, m = build_sharded_simulation(
+        cfg, args.num, mesh, snr_db=args.snr, scale=40000.0,
+        dec_len=args.dec_len or DEFAULT_DEC_LEN)
+    seed = args.seed if args.seed is not None else \
+        int(np.random.SeedSequence().entropy % (2 ** 31))
+    t0 = time.time()
+    ben = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed))))
+    t1 = time.time()
+    if args.verbose:
+        n_dev = len(mesh.devices.flat)
+        print(f"\nIn-graph chain over {n_dev} device(s): {m} bits decoded")
+        print(f"  - first call (includes compile): {t1 - t0:.2f} s")
+        t0 = time.time()
+        ben2 = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed + 1))))
+        dt = time.time() - t0
+        print(f"  - steady-state per call: {dt * 1e3:.1f} ms "
+              f"({m / dt / 1e9:.3g} Gb/s e2e)   [BEN {ben2}]\n")
+    print("Pipeline executed.")
+    print(f"Final results -> BEN: {ben}   BER: {ben / args.num:g}")
+    return 0
 
 
 def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
@@ -159,6 +198,9 @@ def main(argv=None) -> int:
         trace_cm = jax.profiler.trace(args.profile)
     else:
         trace_cm = contextlib.nullcontext()
+    if args.e2e_device:
+        with trace_cm:
+            return run_e2e_device(args, cfg)
     with trace_cm:
         ben, _, _ = run_pipeline(args.num, args.snr, cfg,
                                  verbose=args.verbose, seed=args.seed,
