@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ChannelIn, DecoderConfig, NUM_STATES
 from .core_xla import (WARMUP, BlockPlan, assemble_output,
-                       validate_plan)
+                       overlapped_windows, validate_plan)
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 
@@ -314,6 +314,88 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
                       jnp.zeros((1, lt), jnp.int32))
 
 
+def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
+                          *, n_packs, bpp, n_conv, n_emit, vpw, width):
+    """Word-mode kernel with the staging transpose fused in: body_ref
+    (LT, wpb) and halo_ref (LT, wph) arrive block-major straight from the
+    packed channel stream (a free reshape view in HBM), are transposed once
+    in VMEM into the word-major words_ref scratch, and the decode proceeds
+    exactly as _viterbi_kernel word mode.  This drops the separate staging
+    pass's HBM round trip (write + re-read of the full word-major layout,
+    cf. stage_words_pallas)."""
+    lt = out_ref.shape[1]
+    wpp = words_ref.shape[1]                    # words per survivor pack
+    nb = body_ref.shape[1] // wpp               # body packs
+    words_ref[:nb] = body_ref[...].T.reshape(nb, wpp, lt)
+    words_ref[nb:] = halo_ref[...].T.reshape(n_packs - nb, wpp, lt)
+    _viterbi_kernel(words_ref, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
+                    n_conv=n_conv, n_emit=n_emit, is_float=False, vpw=vpw,
+                    width=width)
+
+
+def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
+                       plan: BlockPlan, b_pad: int):
+    """Packed channel words -> (body (b_pad, wpb), halo (b_pad, wph))
+    block-major word layouts for the fused kernel.  The body is a pure
+    reshape of the stream; the halo (block k's first wph words of block
+    k+1's span) uses the general overlapped-window construction so
+    dec_len < 64 (halo spanning several bodies) stays correct; the
+    left-shifted last block (plan.offsets) is patched row-granular."""
+    dpp = cfg.enc_data_per_pack
+    dl, B = plan.dec_len, plan.num_blocks
+    wpb = 2 * dl // dpp
+    wph = 2 * WARMUP // dpp
+    need = b_pad * wpb + wpb + wph
+    if packed.shape[0] < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
+    body = packed[: b_pad * wpb].reshape(b_pad, wpb)
+    halo = overlapped_windows(packed[wpb:], wpb, wph, b_pad)
+    if B > 1 and plan.overlap_bits:
+        start_w = 2 * (plan.message_len - dl) // dpp
+        last = jax.lax.dynamic_slice(packed, (start_w,), (wpb + wph,))
+        body = body.at[B - 1].set(last[:wpb])
+        halo = halo.at[B - 1].set(last[wpb:])
+    # padding rows (blocks >= B) carry leftover stream words rather than
+    # zeros; those lanes are decoded and discarded (see stage_words_pallas)
+    return body, halo
+
+
+def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
+                      cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Block-major packed words -> packed output words, staging fused."""
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)
+    n_emit = plan.dec_len // bpp
+    b_pad = body.shape[0]
+    wpb, wph = body.shape[1], halo.shape[1]
+    wpp = (wpb + wph) // n_packs
+
+    kernel = functools.partial(
+        _viterbi_kernel_fused, n_packs=n_packs, bpp=bpp, n_conv=n_conv,
+        n_emit=n_emit, vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // lane_tile,),
+        in_specs=[pl.BlockSpec((lane_tile, wpb), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((lane_tile, wph), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
+                                   jnp.int32),
+                        pltpu.VMEM((n_packs, wpp, lane_tile), jnp.int32)],
+        interpret=interpret,
+    )(body, halo)
+
+    out_packs = out.transpose(1, 0)[:plan.num_blocks].view(jnp.uint32)
+    return assemble_output(out_packs, cfg, plan)
+
+
 def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
     """Global (S, 2) soft stages -> (n_packs, bpp, 2, b_pad) scan-major tile
     layout WITHOUT an index gather (XLA gathers are catastrophically slow on
@@ -426,7 +508,8 @@ def _stage_tr_kernel(body_ref, halo_ref, o_ref):
 
 def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                        plan: BlockPlan, b_pad: int,
-                       lane_tile: int = LANE_TILE) -> jnp.ndarray:
+                       lane_tile: int = LANE_TILE,
+                       interpret: bool = False) -> jnp.ndarray:
     """Packed channel words -> (Lw, b_pad) word-major block layout via a
     Pallas transpose kernel.  Semantics identical to core_xla.stage_words.
     The Pallas tiles stream through VMEM at ~1 TB/s
@@ -462,6 +545,7 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
         out_specs=pl.BlockSpec((Lw, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Lw, b_pad), packed.dtype),
+        interpret=interpret,
     )(body, halo)
 
     if B > 1 and plan.overlap_bits:
@@ -475,26 +559,36 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile",
+                                              "fused", "interpret"))
 def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                          plan: BlockPlan,
-                         lane_tile: int = LANE_TILE) -> jnp.ndarray:
+                         lane_tile: int = LANE_TILE,
+                         fused: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
     """Full decode straight from packed channel words (the ViterbiCUDA::run
     input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
     the production large-message entry point.
 
     Integer channel formats stay packed all the way into the kernel (word
-    mode: the (Lw, b_pad) word transpose is the only staging data movement,
-    1/dpp of the soft-value traffic; the kernel unpacks in VMEM).  FP32
-    goes through the sign-extended value staging."""
+    mode) and, with fused=True, block-major: the stream enters the kernel
+    as a free reshape view and the word transpose happens once in VMEM
+    (_viterbi_kernel_fused) — zero staging HBM round trips.  fused=False
+    keeps the separate staging-transpose pass (stage_words_pallas) for A/B
+    measurement.  FP32 goes through the sign-extended value staging."""
     validate_plan(cfg, plan)
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     if is_float:
         rs = _stage_layout_packed(packed.astype(jnp.float32), cfg, plan,
                                   b_pad)
-    else:
-        wt = stage_words_pallas(packed.astype(jnp.int32), cfg, plan, b_pad,
-                                lane_tile)
-        rs = wt.reshape(plan.n_packs, -1, b_pad)
-    return _run_kernel(rs, cfg, plan, lane_tile)
+        return _run_kernel(rs, cfg, plan, lane_tile, interpret)
+    if fused:
+        body, halo = _block_major_words(packed.astype(jnp.int32), cfg,
+                                        plan, b_pad)
+        return _run_kernel_fused(body, halo, cfg, plan, lane_tile,
+                                 interpret)
+    wt = stage_words_pallas(packed.astype(jnp.int32), cfg, plan, b_pad,
+                            lane_tile, interpret)
+    rs = wt.reshape(plan.n_packs, -1, b_pad)
+    return _run_kernel(rs, cfg, plan, lane_tile, interpret)
