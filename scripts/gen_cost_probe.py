@@ -70,10 +70,15 @@ def stage_fns(n):
 
 
 def best_time(fn, keys):
+    # np.asarray, not block_until_ready: on the axon relay the latter
+    # returns before execution completes (measured: 1-4 ms "raw" times at
+    # 128M bits, far below the ~25-35 ms dispatch floor); fetching the
+    # scalar is the only reliable completion barrier
+    import numpy as np
     ts = []
     for k in keys:
         t0 = time.time()
-        jax.block_until_ready(fn(k))
+        np.asarray(fn(k))
         ts.append(time.time() - t0)
     return min(ts)
 
