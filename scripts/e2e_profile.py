@@ -58,8 +58,26 @@ def stage_fns(n):
         return jnp.sum(jax.lax.population_count(valid ^ ref)
                        .astype(jnp.int32))
 
+    from tpu_viterbi.chain.genkernel import (packed_workload_pallas,
+                                             ref_words_from_packs)
+
+    def pgen(key):
+        bp, packed = packed_workload_pallas(key, n, cfg.channel_in, SNR,
+                                            32.0)
+        return red(bp) + red(packed)
+
+    def pfull(key):
+        bp, packed = packed_workload_pallas(key, n, cfg.channel_in, SNR,
+                                            32.0)
+        out = decode_packed_pallas(packed, cfg, plan)
+        valid = out[: m // cfg.bits_per_pack].astype(jnp.uint32)
+        ref = ref_words_from_packs(bp, cfg.extra_l, m)
+        return jnp.sum(jax.lax.population_count(valid ^ ref)
+                       .astype(jnp.int32))
+
     return [("gen", gen), ("gen+ref", gen_ref),
-            ("gen+decode", gen_decode), ("full+BER", full)]
+            ("gen+decode", gen_decode), ("full+BER", full),
+            ("pallas gen", pgen), ("pallas full", pfull)]
 
 
 def best_time(fn, keys):

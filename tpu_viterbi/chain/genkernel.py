@@ -1,0 +1,293 @@
+"""Fused Pallas workload generator: message bits -> conv encode -> AWGN ->
+quantize -> packed channel words, all inside one TPU kernel.
+
+The XLA element chain (chain/workload.py, mirroring the reference driver
+src/main.cpp:131-141) materializes every intermediate stream in HBM: the
+float symbol streams alone are 8 bytes per message bit, and the measured
+cost at 128M bits is ~24 ms (scripts/gen_cost_probe.py) — comparable to
+the decode itself.  This kernel keeps everything in vector registers: the
+only HBM traffic is the packed outputs (~0.63 B/bit at SOFT8), and the
+random draws are recomputed from counters instead of stored.
+
+RNG: threefry2x32-20 on int32 vector ops, bit-identical to JAX's threefry
+function (verified in tests/test_genkernel.py), driven in counter mode:
+
+  message-bit pack p (32 bits, MSB = earliest):
+      pack = threefry(key, c0=p>>1, c1=1).x[p & 1]
+  noise for the two streams of stage s of word w (j = s - w*vpw/2):
+      (z0, z1) = box_muller(threefry(key, c0=w, c1=2 + j))
+
+Every value is a pure function of (key, global position), so sharded
+grids generate exactly the slices of one global stream — the same
+property the partitionable-threefry XLA path provides (simulate.py).
+The bit/noise STREAMS differ from the jax.random ones (different counter
+assignment), so parity with chain/workload.py is statistical under noise
+and bit-exact only in the derived quantities tests lock: encoding,
+quantization, and packing of whatever bits were drawn (sigma=0), and the
+BER curve under noise.
+
+Normal draws: two u32 -> 24-bit uniforms -> Box-Muller (exact Gaussian,
+no polynomial approximation error in the tails, which is what the BER
+waterfall measures); |z| <= sqrt(-2 ln 2^-24) = 5.77 sigma, slightly
+deeper than jax.random.normal's erfinv path at the same granularity.
+TPU sin/cos/log/sqrt are single hardware transcendentals.
+
+Encoder: the two parity streams are computed on whole 32-bit packs as
+funnel-shifted XOR taps (reference shift register semantics,
+src/viterbiDF.h:43-62, same tap algebra as chain/encode.py); the 6-bit
+history crossing a pack boundary comes from recomputing the previous
+pack's threefry call — recompute-over-communicate, the TPU idiom.
+
+Packing: MSB = earliest, interleaved [out0, out1] per stage, identical
+field layout to chain/quantize.pack_words_2streams (viterbiDF.h:157-163).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CONST_LEN, POLY1, POLY2, ChannelIn
+from .channel import snr_to_sigma
+from .quantize import _QUANT_PARAMS
+
+GEN_ROWS = 64         # sublane rows of generator lanes per kernel program
+                      # (64 measured best at 128M bits: 6.0 ms vs 6.5 at
+                      # 32/128 and 9.6 at 256, scripts/check_genkernel.py)
+
+_ROTS = (13, 15, 26, 6, 17, 29, 16, 24)
+_BITS_TAG = 1         # threefry c1 for message-bit draws
+_NOISE_TAG = 2        # threefry c1 base for noise draws
+
+
+def _rotl(x, r):
+    return (x << r) | jax.lax.shift_right_logical(x, 32 - r)
+
+
+def threefry2x32(k0, k1, c0, c1):
+    """threefry2x32-20 on int32 arrays (wrapping int32 adds == uint32
+    semantics); bit-identical to jax._src.prng.threefry_2x32."""
+    ks2 = jnp.int32(0x1BD11BDA) ^ k0 ^ k1
+    ks = (k0, k1, ks2)
+    x0 = c0 + k0
+    x1 = c1 + k1
+    for g in range(5):
+        base = 4 * (g % 2)
+        for i in range(4):
+            x0 = x0 + x1
+            x1 = _rotl(x1, _ROTS[base + i])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + jnp.int32(g + 1)
+    return x0, x1
+
+
+def normal_pair(x0, x1):
+    """Two int32 random words -> two independent N(0,1) f32 draws via
+    Box-Muller (exact Gaussian — no polynomial approximation error in the
+    tails, which is what the BER waterfall measures).  24-bit uniform
+    granularity bounds |z| <= sqrt(-2 ln 2^-24) = 5.77 sigma, slightly
+    deeper than jax.random.normal's erfinv path (~5.4 sigma at the same
+    granularity).  TPU sin/cos/log/sqrt are single hardware
+    transcendentals (scripts/genkernel_probe.py checks lowering)."""
+    two24 = jnp.float32(2.0 ** -24)
+    u1 = ((x0 & jnp.int32(0xFFFFFF)).astype(jnp.float32) + 1.0) * two24
+    u2 = (x1 & jnp.int32(0xFFFFFF)).astype(jnp.float32) * two24
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+    theta = jnp.float32(2.0 * math.pi) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _tap_ds(poly):
+    return tuple(CONST_LEN - 1 - b for b in range(CONST_LEN)
+                 if (poly >> b) & 1)
+
+
+_TAPS_D0 = _tap_ds(POLY1)   # {6, 3, 2, 1, 0}
+_TAPS_D1 = _tap_ds(POLY2)   # {6, 5, 3, 2, 0}
+
+
+def _bit_pack(k0, k1, idx):
+    """Message-bit pack `idx` (32 bits, MSB = earliest): half (idx & 1) of
+    threefry call (idx >> 1, _BITS_TAG); packs at negative indices (the
+    encoder's pre-history) are zero."""
+    x0, x1 = threefry2x32(k0, k1, idx >> 1, jnp.int32(_BITS_TAG))
+    pack = jnp.where((idx & 1) == 1, x1, x0)
+    return jnp.where(idx < 0, 0, pack)
+
+
+def _gen_kernel(key_ref, widx_ref, pidx_ref, bits_ref, words_ref, *, n_bits,
+                vpw, width, scale, sigma, hard):
+    """One tile.  Lane ownership is strided so both outputs are emitted in
+    flat stream order with zero relayout:
+
+      words_ref (R, 128): element (r, lane) IS channel word
+          w = widx_ref[r, lane]; its encoder window (the 6-bit history plus
+          the word's spw stages) is rebuilt from the two covering bit packs
+          (recompute-over-communicate) via one variable funnel shift.
+      bits_ref (R // wpl, 128): element = message-bit pack
+          p = pidx_ref[...], masked to the first n_bits positions.
+
+    An XLA-side layout fix-up is deliberately impossible to need: a
+    (.., wpl)-minor transpose materializes padded 16 -> 128 lanes under
+    TPU tiling (~12 ms hidden traffic at 128M bits, scripts/e2e_profile.py
+    before this layout), and Mosaic cannot lower the in-kernel lane-merge
+    reshape."""
+    k0 = key_ref[0]
+    k1 = key_ref[1]
+    w = widx_ref[...]
+    spw = vpw // 2                              # stages per word
+
+    # ---- message-bit packs output (pack-owner indexing) ----
+    p = pidx_ref[...]
+    own = _bit_pack(k0, k1, p)
+    keep = jnp.clip(n_bits - 32 * p, 0, 32)     # zero bits >= n_bits
+    tail_mask = jnp.where(
+        keep >= 32, jnp.int32(-1),
+        jnp.where(keep <= 0, 0,
+                  jnp.int32(-1) << (32 - jnp.minimum(keep, 31))))
+    bits_ref[...] = own & tail_mask
+
+    # ---- per-word encoder window: bits [w*spw - 6, w*spw + 26) ----
+    off = w * spw - (CONST_LEN - 1)
+    pk = off >> 5
+    sh = off & 31
+    p1 = _bit_pack(k0, k1, pk)
+    p2 = _bit_pack(k0, k1, pk + 1)
+    u = (p1 << sh) | jnp.where(
+        sh == 0, 0, jax.lax.shift_right_logical(p2, 32 - sh))
+
+    # parity windows: bit q of o_k (from MSB) = stage (off + q) output =
+    # XOR over tap delays d of window bit q - d; valid for q >= 6
+    shifted = {0: u}
+    for d in sorted(set(_TAPS_D0 + _TAPS_D1) - {0}):
+        shifted[d] = jax.lax.shift_right_logical(u, d)
+    o0 = shifted[_TAPS_D0[0]]
+    for d in _TAPS_D0[1:]:
+        o0 = o0 ^ shifted[d]
+    o1 = shifted[_TAPS_D1[0]]
+    for d in _TAPS_D1[1:]:
+        o1 = o1 ^ shifted[d]
+
+    # ---- noise, quantize, pack ----
+    f_scale = jnp.float32(scale)
+    f_nscale = jnp.float32(scale * sigma)
+    if not hard:
+        _, lo, hi = _QUANT_PARAMS_BY_WIDTH[width]
+    field_mask = jnp.int32((1 << width) - 1) if width < 32 else jnp.int32(-1)
+
+    acc = jnp.zeros_like(w)
+    for j in range(spw):
+        stage_ok = (w * spw + j) < n_bits       # one stage per message bit
+        if sigma:
+            zs = normal_pair(*threefry2x32(k0, k1, w,
+                                           jnp.int32(_NOISE_TAG + j)))
+        for stream, o_win in enumerate((o0, o1)):
+            # stage w*spw+j is window bit 6+j (from MSB) = value bit 25-j
+            bit = jax.lax.shift_right_logical(
+                o_win, 32 - CONST_LEN - j) & 1
+            sym = bit.astype(jnp.float32) * 2.0 - 1.0
+            v = sym * f_scale
+            if sigma:
+                v = v + f_nscale * zs[stream]
+            if hard:
+                field = (v > 0.0).astype(jnp.int32)
+            else:
+                field = jnp.clip(jnp.rint(v), lo, hi).astype(jnp.int32)
+            field = field & field_mask
+            field = jnp.where(stage_ok, field, 0)
+            f_pos = 2 * j + stream              # field index within word
+            acc = acc | (field << (32 - (f_pos + 1) * width))
+    words_ref[...] = acc
+
+
+# width -> (vpw, lo, hi) for the quantize clamp (HARD handled separately)
+_QUANT_PARAMS_BY_WIDTH = {
+    4: (8, -8, 7), 8: (4, -128, 127), 16: (2, -32768, 32767)}
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "channel_in", "snr_db", "scale", "rows", "interpret"))
+def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
+                           snr_db: float, scale: float,
+                           rows: int = GEN_ROWS, interpret: bool = False):
+    """Fused-generation analog of chain.workload.packed_workload.
+
+    -> (bit_packs (ceil(n/32),) int32  [message bits, MSB = earliest],
+        packed channel words (ceil(2n/vpw),) int32)
+
+    Supports the packed integer channels (HARD/SOFT4/SOFT8/SOFT16); FP32
+    has no packed word stream (dpp=1) and stays on the XLA path."""
+    if channel_in == ChannelIn.FP32:
+        raise ValueError("FP32 channel has no packed-word form; use "
+                         "chain.workload.packed_workload")
+    width = 1 if channel_in == ChannelIn.HARD else \
+        _QUANT_PARAMS[channel_in][0]
+    vpw = 32 // width
+    wpl = 64 // vpw
+    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
+
+    # the bits block (rows // wpl, 128) must satisfy Mosaic's 8-sublane
+    # minimum, so rows is a multiple of 8 * wpl (wpl = words per bit pack)
+    rows = -(-rows // (8 * wpl)) * (8 * wpl)
+    n_packs = -(-n // 32)
+    n_words = -(-2 * n // vpw)
+    lane_span = rows * 128
+    w_pad = -(-n_words // lane_span) * lane_span
+    p_pad = w_pad // wpl
+    assert p_pad >= n_packs
+    grid = w_pad // lane_span
+
+    # accept both raw (2,) uint32 keys (jax.random.PRNGKey default) and
+    # new-style typed keys
+    kd = key if hasattr(key, "dtype") and key.dtype == jnp.uint32 \
+        else jax.random.key_data(key)
+    kd = kd.reshape(2).astype(jnp.uint32).view(jnp.int32)
+    widx = jax.lax.iota(jnp.int32, w_pad).reshape(w_pad // 128, 128)
+    pidx = jax.lax.iota(jnp.int32, p_pad).reshape(p_pad // 128, 128)
+
+    kernel = functools.partial(
+        _gen_kernel, n_bits=n, vpw=vpw, width=width, scale=float(scale),
+        sigma=float(sigma), hard=channel_in == ChannelIn.HARD)
+    bits, words = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((w_pad // 128, 128), jnp.int32)],
+        interpret=interpret,
+    )(kd, widx, pidx)
+
+    bit_packs = bits.reshape(-1)[:n_packs]
+    packed = words.reshape(-1)[:n_words]
+    return bit_packs, packed
+
+
+def ref_words_from_packs(bit_packs: jnp.ndarray, extra_l: int,
+                         message_len: int) -> jnp.ndarray:
+    """Aligned message-bit packs -> ground-truth decoded words: decoded
+    bit i = message bit i + extra_l (main.cpp:160-161), 32-bit packs,
+    MSB = earliest.  Pure shift-combine (the pack-matmul _ref_words path
+    costs ~3 ms at 128M bits; this is free)."""
+    nw = message_len // 32
+    lo_shift = 32 - extra_l
+    w = bit_packs.view(jnp.uint32) if bit_packs.dtype == jnp.int32 \
+        else bit_packs.astype(jnp.uint32)
+    need = nw + 1
+    if w.shape[0] < need:
+        w = jnp.concatenate([w, jnp.zeros((need - w.shape[0],), w.dtype)])
+    return ((w[:nw] << extra_l) |
+            (w[1:nw + 1] >> lo_shift)).astype(jnp.uint32)
