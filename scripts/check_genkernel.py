@@ -72,6 +72,35 @@ def main():
             for kk in ks))
     t = slope(mk_xla, keys)
     log(f"xla chain : {t*1e3:6.2f} ms")
+
+    # ---- sharded entry on the 1-device mesh: parity + in-graph sim ----
+    from tpu_viterbi.chain.genkernel import packed_workload_pallas_sharded
+    from tpu_viterbi.config import DecoderConfig
+    from tpu_viterbi.sharding.mesh import BLOCK_AXIS, make_block_mesh
+    from tpu_viterbi.sharding.simulate import build_sharded_simulation
+
+    mesh = make_block_mesh(jax.devices()[:1])
+    key = jax.random.PRNGKey(11)
+    n = 1_000_000
+    bp_l, w_l = packed_workload_pallas(key, n, ChannelIn.SOFT8, 5.5, 32.0)
+    bp_s, w_s = jax.jit(lambda k: packed_workload_pallas_sharded(
+        k, n, ChannelIn.SOFT8, 5.5, 32.0, mesh, BLOCK_AXIS))(key)
+    ok = (np.array_equal(np.asarray(bp_s)[: bp_l.shape[0]],
+                         np.asarray(bp_l)) and
+          np.array_equal(np.asarray(w_s)[: w_l.shape[0]], np.asarray(w_l)))
+    log(f"sharded(1-dev mesh) vs local: {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        return 1
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    for gen_name in ("pallas", "xla"):
+        fn, m = build_sharded_simulation(cfg, N, mesh, snr_db=5.5,
+                                         generator=gen_name)
+        def mk(k):
+            return jax.jit(lambda *ks: sum(fn(kk) for kk in ks))
+        t = slope(mk, keys)
+        log(f"in-graph sim {gen_name:6s}: {t*1e3:6.2f} ms "
+            f"({m / t / 1e9:.2f} Gb/s e2e)")
     return 0
 
 

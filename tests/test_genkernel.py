@@ -127,6 +127,43 @@ def test_noise_distribution():
     assert 1.5e-3 < p3 < 4.5e-3, f"3-sigma tail mass {p3}"
 
 
+def test_sharded_generator_bit_identical_across_mesh_shapes():
+    """Counter-mode property: an 8-device sharded generation produces the
+    same global bit and word streams as the single-device kernel."""
+    from tpu_viterbi.sharding.mesh import BLOCK_AXIS, make_block_mesh
+    n = 64 * 1024 + 7
+    key = jax.random.PRNGKey(21)
+    bp1, w1 = packed_workload_pallas(
+        key, n, ChannelIn.SOFT8, 4.0, 32.0, interpret=True)
+    mesh = make_block_mesh(jax.devices()[:8])
+    from tpu_viterbi.chain.genkernel import packed_workload_pallas_sharded
+    bp8, w8 = jax.jit(lambda k: packed_workload_pallas_sharded(
+        k, n, ChannelIn.SOFT8, 4.0, 32.0, mesh, BLOCK_AXIS,
+        interpret=True))(key)
+    np.testing.assert_array_equal(np.asarray(bp8)[: bp1.shape[0]],
+                                  np.asarray(bp1))
+    np.testing.assert_array_equal(np.asarray(w8)[: w1.shape[0]],
+                                  np.asarray(w1))
+    # padded tails are zero (evenly-shardable contract)
+    assert not np.any(np.asarray(bp8)[bp1.shape[0]:])
+    assert not np.any(np.asarray(w8)[w1.shape[0]:])
+
+
+@pytest.mark.parametrize("bpp_cfg", ["b32", "b16"])
+def test_sharded_simulation_pallas_generator_ber0(bpp_cfg):
+    from tpu_viterbi.config import DecodeOut
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8,
+                        decode_out=DecodeOut.O_B16 if bpp_cfg == "b16"
+                        else DecodeOut.O_B32)
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, m = simulate_sharded(cfg, 8 * 2048, mesh, snr_db=math.inf,
+                              seed=5, dec_len=512, generator="pallas")
+    assert m == cfg.get_message_len(2 * 8 * 2048)
+    assert ben == 0
+
+
 def test_noiseless_decode_ber0():
     from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
     n = 65536

@@ -211,6 +211,66 @@ _QUANT_PARAMS_BY_WIDTH = {
     4: (8, -8, 7), 8: (4, -128, 127), 16: (2, -32768, 32767)}
 
 
+def _plan(n, channel_in, rows, shards=1):
+    """Static tile plan shared by the local and sharded entry points:
+    -> (rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad).
+    w_pad is a multiple of shards * rows * 128 so every shard runs whole
+    kernel programs over a contiguous slab of the flat word stream."""
+    if channel_in == ChannelIn.FP32:
+        raise ValueError("FP32 channel has no packed-word form; use "
+                         "chain.workload.packed_workload")
+    width = 1 if channel_in == ChannelIn.HARD else \
+        _QUANT_PARAMS[channel_in][0]
+    vpw = 32 // width
+    wpl = 64 // vpw
+    # the bits block (rows // wpl, 128) must satisfy Mosaic's 8-sublane
+    # minimum, so rows is a multiple of 8 * wpl (wpl = words per bit pack)
+    rows = -(-rows // (8 * wpl)) * (8 * wpl)
+    n_packs = -(-n // 32)
+    n_words = -(-2 * n // vpw)
+    span = rows * 128 * shards
+    w_pad = -(-n_words // span) * span
+    p_pad = w_pad // wpl
+    assert p_pad >= n_packs
+    return rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad
+
+
+def _key_data(key):
+    """(2,) int32 key words from either a raw uint32 pair
+    (jax.random.PRNGKey default) or a new-style typed key."""
+    kd = key if hasattr(key, "dtype") and key.dtype == jnp.uint32 \
+        else jax.random.key_data(key)
+    return kd.reshape(2).astype(jnp.uint32).view(jnp.int32)
+
+
+def _call_gen_kernel(kd, widx, pidx, *, n, channel_in, snr_db, scale, rows,
+                     width, vpw, wpl, interpret):
+    """pallas_call over one contiguous slab of the word stream; widx/pidx
+    carry the global positions so the same call serves any shard."""
+    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
+    kernel = functools.partial(
+        _gen_kernel, n_bits=n, vpw=vpw, width=width, scale=float(scale),
+        sigma=float(sigma), hard=channel_in == ChannelIn.HARD)
+    w_rows, p_rows = widx.shape[0], pidx.shape[0]
+    grid = w_rows * 128 // (rows * 128)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((p_rows, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((w_rows, 128), jnp.int32)],
+        interpret=interpret,
+    )(kd, widx, pidx)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "channel_in", "snr_db", "scale", "rows", "interpret"))
 def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
@@ -223,57 +283,63 @@ def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
 
     Supports the packed integer channels (HARD/SOFT4/SOFT8/SOFT16); FP32
     has no packed word stream (dpp=1) and stays on the XLA path."""
-    if channel_in == ChannelIn.FP32:
-        raise ValueError("FP32 channel has no packed-word form; use "
-                         "chain.workload.packed_workload")
-    width = 1 if channel_in == ChannelIn.HARD else \
-        _QUANT_PARAMS[channel_in][0]
-    vpw = 32 // width
-    wpl = 64 // vpw
-    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
-
-    # the bits block (rows // wpl, 128) must satisfy Mosaic's 8-sublane
-    # minimum, so rows is a multiple of 8 * wpl (wpl = words per bit pack)
-    rows = -(-rows // (8 * wpl)) * (8 * wpl)
-    n_packs = -(-n // 32)
-    n_words = -(-2 * n // vpw)
-    lane_span = rows * 128
-    w_pad = -(-n_words // lane_span) * lane_span
-    p_pad = w_pad // wpl
-    assert p_pad >= n_packs
-    grid = w_pad // lane_span
-
-    # accept both raw (2,) uint32 keys (jax.random.PRNGKey default) and
-    # new-style typed keys
-    kd = key if hasattr(key, "dtype") and key.dtype == jnp.uint32 \
-        else jax.random.key_data(key)
-    kd = kd.reshape(2).astype(jnp.uint32).view(jnp.int32)
+    rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
+        _plan(n, channel_in, rows)
+    kd = _key_data(key)
     widx = jax.lax.iota(jnp.int32, w_pad).reshape(w_pad // 128, 128)
     pidx = jax.lax.iota(jnp.int32, p_pad).reshape(p_pad // 128, 128)
+    bits, words = _call_gen_kernel(
+        kd, widx, pidx, n=n, channel_in=channel_in, snr_db=snr_db,
+        scale=scale, rows=rows, width=width, vpw=vpw, wpl=wpl,
+        interpret=interpret)
+    return bits.reshape(-1)[:n_packs], words.reshape(-1)[:n_words]
 
-    kernel = functools.partial(
-        _gen_kernel, n_bits=n, vpw=vpw, width=width, scale=float(scale),
-        sigma=float(sigma), hard=channel_in == ChannelIn.HARD)
-    bits, words = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((w_pad // 128, 128), jnp.int32)],
-        interpret=interpret,
-    )(kd, widx, pidx)
 
-    bit_packs = bits.reshape(-1)[:n_packs]
-    packed = words.reshape(-1)[:n_words]
-    return bit_packs, packed
+def packed_workload_pallas_sharded(key: jax.Array, n: int,
+                                   channel_in: ChannelIn, snr_db: float,
+                                   scale: float, mesh, axis: str,
+                                   rows: int = GEN_ROWS,
+                                   interpret: bool = False):
+    """Sharded fused generation: every device runs the SAME counter-mode
+    kernel over its contiguous slab of the flat word stream, so the global
+    streams are bit-identical to packed_workload_pallas at any mesh shape
+    (locked by tests/test_genkernel.py) — the property the reference's
+    host-side generator cannot offer and the partitionable-threefry XLA
+    path (sharding/simulate.py) provides at ~2x the cost.
+
+    -> (bit_packs (p_pad,) int32, words (w_pad,) int32), both sharded
+    block-contiguous along `axis`; unlike the local entry the outputs keep
+    their padded length (a multiple of shards*rows*128 tail zeros) so the
+    result stays evenly shardable — slice [:ceil(n/32)] / [:ceil(2n/vpw)]
+    if exact lengths are needed."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    shards = mesh.shape[axis]
+    rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
+        _plan(n, channel_in, rows, shards)
+    w_loc = w_pad // shards
+    p_loc = p_pad // shards
+    kd = _key_data(key)
+
+    def gen_local(kd):
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        widx = (jax.lax.iota(jnp.int32, w_loc) +
+                d * w_loc).reshape(w_loc // 128, 128)
+        pidx = (jax.lax.iota(jnp.int32, p_loc) +
+                d * p_loc).reshape(p_loc // 128, 128)
+        bits, words = _call_gen_kernel(
+            kd, widx, pidx, n=n, channel_in=channel_in, snr_db=snr_db,
+            scale=scale, rows=rows, width=width, vpw=vpw, wpl=wpl,
+            interpret=interpret)
+        return bits.reshape(-1), words.reshape(-1)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and the body is intentionally device-varying (axis_index)
+    bits, words = shard_map(
+        gen_local, mesh=mesh, in_specs=P(), out_specs=P(axis),
+        check_vma=False)(kd)
+    return bits, words
 
 
 def ref_words_from_packs(bit_packs: jnp.ndarray, extra_l: int,

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..chain.genkernel import (packed_workload_pallas_sharded,
+                               ref_words_from_packs)
 from ..chain.quantize import pack_words
 from ..chain.workload import packed_workload
 from ..config import ChannelIn, DecoderConfig
@@ -50,6 +52,13 @@ DEFAULT_SCALES = {
 }
 
 
+def _split_packs16(w32: jnp.ndarray) -> jnp.ndarray:
+    """32-bit packs -> interleaved 16-bit packs (hi = earlier bits)."""
+    hi = (w32 >> jnp.uint32(16)).astype(jnp.uint32)
+    lo = (w32 & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+    return jnp.stack([hi, lo], axis=1).reshape(-1)
+
+
 def _ref_words(bits: jnp.ndarray, cfg: DecoderConfig,
                message_len: int) -> jnp.ndarray:
     """Ground-truth decoded stream as bpp-bit packs (decoded bit i equals
@@ -58,21 +67,27 @@ def _ref_words(bits: jnp.ndarray, cfg: DecoderConfig,
     w32 = pack_words(span, 1)
     if cfg.bits_per_pack == 32:
         return w32
-    hi = (w32 >> jnp.uint32(16)).astype(jnp.uint32)
-    lo = (w32 & jnp.uint32(0xFFFF)).astype(jnp.uint32)
-    return jnp.stack([hi, lo], axis=1).reshape(-1)
+    return _split_packs16(w32)
 
 
 def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
                              snr_db: float = 5.5, scale: float = None,
                              dec_len: int = 2048,
-                             return_output: bool = False):
+                             return_output: bool = False,
+                             generator: str = "auto"):
     """Returns (jitted simulate(key), message_len_out).
 
     simulate(key) runs the full generate->decode->count chain on the mesh
     and returns the bit-error count as an int32 scalar (plus the sharded
     packed output words when return_output=True). snr_db=math.inf means
     a noiseless channel (sigma=0 passthrough, viterbiDF.h:79-85).
+
+    generator: "pallas" = fused counter-mode kernel (chain/genkernel.py,
+    ~2x faster generation on TPU, interpret mode elsewhere), "xla" =
+    element chain with partitionable threefry, "auto" = pallas on the TPU
+    backend for the packed integer channels, xla otherwise. The two
+    generators draw different (equally Gaussian) random streams, so BEN
+    values differ under noise but BER statistics match.
     """
     num_devices = mesh.shape[BLOCK_AXIS]
     total_stages = message_len
@@ -88,19 +103,40 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     if scale is None:
         scale = DEFAULT_SCALES[cfg.channel_in]
     block_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+    if generator == "auto":
+        generator = "pallas" if (jax.default_backend() == "tpu" and
+                                 cfg.channel_in != ChannelIn.FP32) else "xla"
+    if generator == "pallas" and cfg.channel_in == ChannelIn.FP32:
+        raise ValueError("FP32 channel requires generator='xla'")
 
-    def simulate(key):
+    def gen_ref_and_packed(key):
+        if generator == "pallas":
+            bit_packs, packed = packed_workload_pallas_sharded(
+                key, message_len, cfg.channel_in, snr_db, scale, mesh,
+                BLOCK_AXIS, interpret=jax.default_backend() != "tpu")
+            # bpp=16 allows m % 32 == 16: build rounded-up 32-bit packs,
+            # split, then slice to the exact 16-bit pack count
+            m32 = -(-m // 32) * 32
+            ref32 = ref_words_from_packs(bit_packs, cfg.extra_l, m32)
+            ref = ref32 if cfg.bits_per_pack == 32 else \
+                _split_packs16(ref32)[: m // 16]
+            return ref, packed
         bits, packed = packed_workload(key, message_len, cfg.channel_in,
                                        snr_db, scale)
         bits = jax.lax.with_sharding_constraint(bits, block_sharding)
+        return _ref_words(bits, cfg, m), packed
+
+    def simulate(key):
+        ref, packed = gen_ref_and_packed(key)
         pad = words_needed - packed.shape[0]
-        if pad:
+        if pad > 0:
             packed = jnp.pad(packed, (0, pad))
+        elif pad < 0:
+            packed = packed[:words_needed]
         packed = jax.lax.with_sharding_constraint(packed, block_sharding)
         out = decode_fn(packed)
 
         valid = out[: m // cfg.bits_per_pack].astype(jnp.uint32)
-        ref = _ref_words(bits, cfg, m)
         ben = jnp.sum(jax.lax.population_count(valid ^ ref)
                       .astype(jnp.int32))
         if return_output:
@@ -112,10 +148,11 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
 
 def simulate_sharded(cfg: DecoderConfig, message_len: int, mesh,
                      snr_db: float = 5.5, seed: int = 0,
-                     scale: float = None,
-                     dec_len: int = 2048) -> Tuple[int, int]:
+                     scale: float = None, dec_len: int = 2048,
+                     generator: str = "auto") -> Tuple[int, int]:
     """Convenience one-shot: returns (bit_error_count, message_len)."""
     fn, m = build_sharded_simulation(cfg, message_len, mesh, snr_db=snr_db,
-                                     scale=scale, dec_len=dec_len)
+                                     scale=scale, dec_len=dec_len,
+                                     generator=generator)
     ben = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed))))
     return ben, m
