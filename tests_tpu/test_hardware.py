@@ -53,6 +53,14 @@ def test_randomized_fuzz():
 
 
 @requires_tpu
+def test_fused_generator_kernel():
+    """Fused Pallas workload generator: on-chip output bit-identical to
+    interpret mode for every integer channel, sharded entry bit-identical
+    to the local one, plus generation / in-graph-sim slope timings."""
+    _run("check_genkernel.py")
+
+
+@requires_tpu
 def test_ingraph_simulation_on_chip():
     """The fully in-graph chain (sharded generation -> decode -> BEN, one
     scalar off-device) must run on the real chip over a 1-device mesh and
