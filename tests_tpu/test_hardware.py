@@ -61,6 +61,13 @@ def test_fused_generator_kernel():
 
 
 @requires_tpu
+def test_generator_ber_waterfall_agreement():
+    """The fused generator's Box-Muller AWGN must reproduce the XLA
+    chain's BER waterfall within binomial error (32M bits/point)."""
+    _run("check_gen_ber.py")
+
+
+@requires_tpu
 def test_ingraph_simulation_on_chip():
     """The fully in-graph chain (sharded generation -> decode -> BEN, one
     scalar off-device) must run on the real chip over a 1-device mesh and
