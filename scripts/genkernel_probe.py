@@ -2,9 +2,9 @@
 
 1. threefry2x32-20 implemented with int32 vector ops — verify against
    JAX's own threefry_2x32 (numpy path) and check Mosaic lowers it.
-2. f32 log/sqrt inside a Pallas kernel (needed for erfinv) — lowering +
-   numeric check vs XLA.
-3. Throughput estimate for the threefry+erfinv inner loop.
+2. f32 log/sqrt inside a Pallas kernel (needed for the normal transform)
+   — lowering + numeric check vs XLA.
+3. Throughput estimate for the threefry inner loop.
 
 Run on CPU (interpret semantics via real backend check is TPU):
   env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/genkernel_probe.py --interpret

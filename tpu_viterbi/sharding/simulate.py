@@ -11,14 +11,16 @@ answer is to keep the entire chain
         -> sharded decode (shard_map + ppermute halo)
         -> on-device bit-error count
 
-inside ONE jitted program over the mesh. Generation uses the partitionable
-threefry lowering (enabled in tpu_viterbi/__init__.py), so every device
-computes exactly its slice of the *same* global random stream that a
-single-device run would draw — the generated bits are bit-identical across
-mesh shapes, which the tests exploit. GSPMD partitions the elementwise
-chain ops along the 'blocks' axis; the only cross-device traffic is the
-tiny edge realignment of the encoder's K-1-bit shifted views, the 64-stage
-decode halo (one ppermute over ICI), and the scalar BEN all-reduce.
+inside ONE jitted program over the mesh. Generation is counter-mode either
+way, so every device computes exactly its slice of the *same* global
+random stream a single-device run would draw (bit-identical across mesh
+shapes, which the tests exploit): the default TPU path is the fused Pallas
+generator under shard_map (chain/genkernel.py — the counters ARE the
+global positions), the XLA path the element chain with the partitionable
+threefry lowering (enabled in tpu_viterbi/__init__.py). The only
+cross-device traffic is the tiny edge realignment of the encoder's
+K-1-bit shifted views (xla path), the 64-stage decode halo (one ppermute
+over ICI), and the scalar BEN all-reduce.
 
 Only two int32 scalars (BEN, checksum-free message length is static) leave
 the device per simulated message.
