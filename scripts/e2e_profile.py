@@ -66,6 +66,17 @@ def stage_fns(n):
                                             32.0)
         return red(bp) + red(packed)
 
+    def pgen_ref(key):
+        bp, packed = packed_workload_pallas(key, n, cfg.channel_in, SNR,
+                                            32.0)
+        return red(ref_words_from_packs(bp, cfg.extra_l, m)) + red(packed)
+
+    def pgen_decode(key):
+        bp, packed = packed_workload_pallas(key, n, cfg.channel_in, SNR,
+                                            32.0)
+        out = decode_packed_pallas(packed, cfg, plan)
+        return red(bp) + red(out)
+
     def pfull(key):
         bp, packed = packed_workload_pallas(key, n, cfg.channel_in, SNR,
                                             32.0)
@@ -77,7 +88,8 @@ def stage_fns(n):
 
     return [("gen", gen), ("gen+ref", gen_ref),
             ("gen+decode", gen_decode), ("full+BER", full),
-            ("pallas gen", pgen), ("pallas full", pfull)]
+            ("pallas gen", pgen), ("pallas gen+ref", pgen_ref),
+            ("pallas gen+dec", pgen_decode), ("pallas full", pfull)]
 
 
 def best_time(fn, keys):
