@@ -20,7 +20,7 @@ from tpu_viterbi.chain.workload import packed_workload
 from tpu_viterbi.config import ChannelIn, DecoderConfig
 from tpu_viterbi.decoder.core_pallas import decode_packed_pallas
 from tpu_viterbi.decoder.core_xla import plan_blocks
-from tpu_viterbi.sharding.simulate import _ref_words
+from tpu_viterbi.sharding.simulate import _ref_words32
 
 N_FULL = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000_000
 N_HALF = int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000
@@ -43,7 +43,7 @@ def stage_fns(n):
 
     def gen_ref(key):
         bits, packed = packed_workload(key, n, cfg.channel_in, SNR, 32.0)
-        return red(_ref_words(bits, cfg, m)) + red(packed)
+        return red(_ref_words32(bits, cfg, m)) + red(packed)
 
     def gen_decode(key):
         bits, packed = packed_workload(key, n, cfg.channel_in, SNR, 32.0)
@@ -54,7 +54,7 @@ def stage_fns(n):
         bits, packed = packed_workload(key, n, cfg.channel_in, SNR, 32.0)
         out = decode_packed_pallas(packed, cfg, plan)
         valid = out[: m // cfg.bits_per_pack].astype(jnp.uint32)
-        ref = _ref_words(bits, cfg, m)
+        ref = _ref_words32(bits, cfg, m)
         return jnp.sum(jax.lax.population_count(valid ^ ref)
                        .astype(jnp.int32))
 
@@ -110,6 +110,8 @@ for fns in (full_fns, half_fns):
 ratio = N_FULL / (N_FULL - N_HALF)
 prev = 0.0
 for i, name in enumerate(full_fns):
+    if name == "pallas gen":
+        prev = 0.0          # new cumulative-prefix chain starts here
     keys_f = [jax.random.PRNGKey(7000 + 10 * i + j) for j in range(4)]
     keys_h = [jax.random.PRNGKey(7500 + 10 * i + j) for j in range(4)]
     tf = best_time(full_fns[name], keys_f)

@@ -25,28 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = "--interpret" in sys.argv
 
-ROTS = (13, 15, 26, 6, 17, 29, 16, 24)
-
-
-def _rotl(x, r):
-    return (x << r) | jax.lax.shift_right_logical(x, 32 - r)
-
-
-def threefry2x32(k0, k1, x0, x1):
-    """Vectorized threefry2x32-20 on int32 arrays (wrapping adds == uint32)."""
-    ks2 = jnp.int32(0x1BD11BDA) ^ k0 ^ k1
-    ks = (k0, k1, ks2)
-    x0 = x0 + k0
-    x1 = x1 + k1
-    for g in range(5):
-        base = 4 * (g % 2)
-        for i in range(4):
-            x0 = x0 + x1
-            x1 = _rotl(x1, ROTS[base + i])
-            x1 = x1 ^ x0
-        x0 = x0 + ks[(g + 1) % 3]
-        x1 = x1 + ks[(g + 2) % 3] + jnp.int32(g + 1)
-    return x0, x1
+# the production implementation under probe — keep a single copy of the
+# rotation schedule and round loop
+from tpu_viterbi.chain.genkernel import threefry2x32  # noqa: E402
 
 
 def tf_kernel(c_ref, o0_ref, o1_ref, *, k0, k1):

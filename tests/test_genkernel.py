@@ -6,7 +6,7 @@
 - noiseless generated channel words are bit-exact the encode+quantize+pack
   of the generated bits through the LOCKED chain functions (every integer
   channel, tail-pack masking, word-order interleave);
-- ref_words_from_packs matches sharding.simulate._ref_words;
+- ref_words_from_packs matches sharding.simulate._ref_words32;
 - the noisy value distribution has the right sigma and Gaussian tails;
 - end-to-end: noiseless pallas workload decodes to BER 0 via the XLA core.
 
@@ -95,7 +95,7 @@ def test_noiseless_words_match_chain(channel):
 
 
 def test_ref_words_matches_simulate():
-    from tpu_viterbi.sharding.simulate import _ref_words
+    from tpu_viterbi.sharding.simulate import _ref_words32
     n = 4096
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
     m = cfg.get_message_len(2 * n)
@@ -103,7 +103,7 @@ def test_ref_words_matches_simulate():
         jax.random.PRNGKey(9), n, ChannelIn.SOFT8, math.inf, 32.0,
         interpret=True)
     bits = unpack_msb_first(np.asarray(bit_packs).view(np.uint32), 32)[:n]
-    want = _ref_words(jnp.asarray(bits), cfg, m)
+    want = _ref_words32(jnp.asarray(bits), cfg, m)
     got = ref_words_from_packs(bit_packs, cfg.extra_l, m)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -162,6 +162,35 @@ def test_sharded_simulation_pallas_generator_ber0(bpp_cfg):
                               seed=5, dec_len=512, generator="pallas")
     assert m == cfg.get_message_len(2 * 8 * 2048)
     assert ben == 0
+
+
+@pytest.mark.parametrize("gen", ["pallas", "xla"])
+def test_sharded_simulation_b16_odd_halfword_count(gen):
+    """Regression: m % 32 == 16 (odd number of 16-bit output packs) used
+    to crash the xla-generator ref path (pack_words truncated the last 16
+    message bits -> XOR shape mismatch (509,) vs (508,))."""
+    from tpu_viterbi.config import DecodeOut
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8,
+                        decode_out=DecodeOut.O_B16)
+    n = 8 * 1024 + 16
+    m = cfg.get_message_len(2 * n)
+    assert m % 32 == 16, "test must hit the odd-halfword tail"
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, m2 = simulate_sharded(cfg, n, mesh, snr_db=math.inf,
+                               seed=7, dec_len=512, generator=gen)
+    assert m2 == m
+    assert ben == 0
+
+
+def test_unknown_generator_rejected():
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import build_sharded_simulation
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    mesh = make_block_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="unknown generator"):
+        build_sharded_simulation(cfg, 8 * 2048, mesh, generator="Pallas")
 
 
 def test_noiseless_decode_ber0():

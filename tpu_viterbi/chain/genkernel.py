@@ -121,17 +121,29 @@ def _bit_pack(k0, k1, idx):
     return jnp.where(idx < 0, 0, pack)
 
 
-def _gen_kernel(key_ref, widx_ref, pidx_ref, bits_ref, words_ref, *, n_bits,
-                vpw, width, scale, sigma, hard):
+def _iota2(rows):
+    """(rows, 128) row-major flat indices, built in-register."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128 +
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
+
+
+def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
+                width, lo, hi, scale, sigma, hard):
     """One tile.  Lane ownership is strided so both outputs are emitted in
     flat stream order with zero relayout:
 
       words_ref (R, 128): element (r, lane) IS channel word
-          w = widx_ref[r, lane]; its encoder window (the 6-bit history plus
-          the word's spw stages) is rebuilt from the two covering bit packs
-          (recompute-over-communicate) via one variable funnel shift.
-      bits_ref (R // wpl, 128): element = message-bit pack
-          p = pidx_ref[...], masked to the first n_bits positions.
+          w = base + program_id*R*128 + r*128 + lane; its encoder window
+          (the 6-bit history plus the word's spw stages) is rebuilt from
+          the two covering bit packs (recompute-over-communicate) via one
+          variable funnel shift.
+      bits_ref (R // wpl, 128): element = message-bit pack p (same affine
+          indexing over the pack stream), masked to the first n_bits
+          positions.
+
+    Global positions are rebuilt in-register from program_id + iota + the
+    SMEM base offset (key_ref[2], nonzero for non-first shards) — the only
+    HBM traffic really is the packed outputs.
 
     An XLA-side layout fix-up is deliberately impossible to need: a
     (.., wpl)-minor transpose materializes padded 16 -> 128 lanes under
@@ -140,11 +152,12 @@ def _gen_kernel(key_ref, widx_ref, pidx_ref, bits_ref, words_ref, *, n_bits,
     reshape."""
     k0 = key_ref[0]
     k1 = key_ref[1]
-    w = widx_ref[...]
+    w0 = key_ref[2] + pl.program_id(0) * (rows * 128)
+    w = w0 + _iota2(rows)
     spw = vpw // 2                              # stages per word
 
     # ---- message-bit packs output (pack-owner indexing) ----
-    p = pidx_ref[...]
+    p = w0 // wpl + _iota2(rows // wpl)
     own = _bit_pack(k0, k1, p)
     keep = jnp.clip(n_bits - 32 * p, 0, 32)     # zero bits >= n_bits
     tail_mask = jnp.where(
@@ -177,8 +190,6 @@ def _gen_kernel(key_ref, widx_ref, pidx_ref, bits_ref, words_ref, *, n_bits,
     # ---- noise, quantize, pack ----
     f_scale = jnp.float32(scale)
     f_nscale = jnp.float32(scale * sigma)
-    if not hard:
-        _, lo, hi = _QUANT_PARAMS_BY_WIDTH[width]
     field_mask = jnp.int32((1 << width) - 1) if width < 32 else jnp.int32(-1)
 
     acc = jnp.zeros_like(w)
@@ -204,11 +215,6 @@ def _gen_kernel(key_ref, widx_ref, pidx_ref, bits_ref, words_ref, *, n_bits,
             f_pos = 2 * j + stream              # field index within word
             acc = acc | (field << (32 - (f_pos + 1) * width))
     words_ref[...] = acc
-
-
-# width -> (vpw, lo, hi) for the quantize clamp (HARD handled separately)
-_QUANT_PARAMS_BY_WIDTH = {
-    4: (8, -8, 7), 8: (4, -128, 127), 16: (2, -32768, 32767)}
 
 
 def _plan(n, channel_in, rows, shards=1):
@@ -243,32 +249,31 @@ def _key_data(key):
     return kd.reshape(2).astype(jnp.uint32).view(jnp.int32)
 
 
-def _call_gen_kernel(kd, widx, pidx, *, n, channel_in, snr_db, scale, rows,
+def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
                      width, vpw, wpl, interpret):
-    """pallas_call over one contiguous slab of the word stream; widx/pidx
-    carry the global positions so the same call serves any shard."""
+    """pallas_call over one contiguous `grid * rows * 128`-word slab of the
+    stream starting at word `base` (a traced scalar, so the same compiled
+    kernel serves any shard); positions are rebuilt in-register."""
     sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
+    hard = channel_in == ChannelIn.HARD
+    _, lo, hi = (0, 0, 0) if hard else _QUANT_PARAMS[channel_in]
     kernel = functools.partial(
-        _gen_kernel, n_bits=n, vpw=vpw, width=width, scale=float(scale),
-        sigma=float(sigma), hard=channel_in == ChannelIn.HARD)
-    w_rows, p_rows = widx.shape[0], pidx.shape[0]
-    grid = w_rows * 128 // (rows * 128)
+        _gen_kernel, n_bits=n, vpw=vpw, wpl=wpl, rows=rows, width=width,
+        lo=lo, hi=hi, scale=float(scale), sigma=float(sigma), hard=hard)
+    kd_base = jnp.concatenate([kd, base.reshape(1)])
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec((rows // wpl, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((rows, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((p_rows, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((w_rows, 128), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((grid * rows // wpl, 128),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32)],
         interpret=interpret,
-    )(kd, widx, pidx)
+    )(kd_base)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -286,12 +291,10 @@ def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
     rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
         _plan(n, channel_in, rows)
     kd = _key_data(key)
-    widx = jax.lax.iota(jnp.int32, w_pad).reshape(w_pad // 128, 128)
-    pidx = jax.lax.iota(jnp.int32, p_pad).reshape(p_pad // 128, 128)
     bits, words = _call_gen_kernel(
-        kd, widx, pidx, n=n, channel_in=channel_in, snr_db=snr_db,
-        scale=scale, rows=rows, width=width, vpw=vpw, wpl=wpl,
-        interpret=interpret)
+        kd, jnp.int32(0), n=n, channel_in=channel_in, snr_db=snr_db,
+        scale=scale, rows=rows, grid=w_pad // (rows * 128), width=width,
+        vpw=vpw, wpl=wpl, interpret=interpret)
     return bits.reshape(-1)[:n_packs], words.reshape(-1)[:n_words]
 
 
@@ -319,19 +322,14 @@ def packed_workload_pallas_sharded(key: jax.Array, n: int,
     rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
         _plan(n, channel_in, rows, shards)
     w_loc = w_pad // shards
-    p_loc = p_pad // shards
     kd = _key_data(key)
 
     def gen_local(kd):
         d = jax.lax.axis_index(axis).astype(jnp.int32)
-        widx = (jax.lax.iota(jnp.int32, w_loc) +
-                d * w_loc).reshape(w_loc // 128, 128)
-        pidx = (jax.lax.iota(jnp.int32, p_loc) +
-                d * p_loc).reshape(p_loc // 128, 128)
         bits, words = _call_gen_kernel(
-            kd, widx, pidx, n=n, channel_in=channel_in, snr_db=snr_db,
-            scale=scale, rows=rows, width=width, vpw=vpw, wpl=wpl,
-            interpret=interpret)
+            kd, d * w_loc, n=n, channel_in=channel_in, snr_db=snr_db,
+            scale=scale, rows=rows, grid=w_loc // (rows * 128), width=width,
+            vpw=vpw, wpl=wpl, interpret=interpret)
         return bits.reshape(-1), words.reshape(-1)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes

@@ -54,22 +54,16 @@ DEFAULT_SCALES = {
 }
 
 
-def _split_packs16(w32: jnp.ndarray) -> jnp.ndarray:
-    """32-bit packs -> interleaved 16-bit packs (hi = earlier bits)."""
-    hi = (w32 >> jnp.uint32(16)).astype(jnp.uint32)
-    lo = (w32 & jnp.uint32(0xFFFF)).astype(jnp.uint32)
-    return jnp.stack([hi, lo], axis=1).reshape(-1)
-
-
-def _ref_words(bits: jnp.ndarray, cfg: DecoderConfig,
-               message_len: int) -> jnp.ndarray:
-    """Ground-truth decoded stream as bpp-bit packs (decoded bit i equals
-    message bit i + extra_l, MSB earliest — main.cpp:160-161)."""
-    span = bits[cfg.extra_l: cfg.extra_l + message_len].astype(jnp.uint32)
-    w32 = pack_words(span, 1)
-    if cfg.bits_per_pack == 32:
-        return w32
-    return _split_packs16(w32)
+def _ref_words32(bits: jnp.ndarray, cfg: DecoderConfig,
+                 m32: int) -> jnp.ndarray:
+    """Ground-truth decoded stream as 32-bit packs covering m32 decoded
+    bits (a multiple of 32, >= get_message_len; decoded bit i equals
+    message bit i + extra_l, MSB earliest — main.cpp:160-161).  The bpp=16
+    comparison happens against these 32-bit packs directly (see simulate):
+    splitting them into an interleaved 16-bit stream would materialize a
+    minor-dim-2 array, which pads 2 -> 128 lanes under TPU tiling."""
+    span = bits[cfg.extra_l: cfg.extra_l + m32].astype(jnp.uint32)
+    return pack_words(span, 1)
 
 
 def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
@@ -108,28 +102,45 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     if generator == "auto":
         generator = "pallas" if (jax.default_backend() == "tpu" and
                                  cfg.channel_in != ChannelIn.FP32) else "xla"
+    if generator not in ("pallas", "xla"):
+        raise ValueError(f"unknown generator {generator!r} "
+                         "(expected 'auto', 'pallas' or 'xla')")
     if generator == "pallas" and cfg.channel_in == ChannelIn.FP32:
         raise ValueError("FP32 channel requires generator='xla'")
+    # bpp=16 allows m % 32 == 16; the reference stream is built as
+    # rounded-up 32-bit packs either way and compared in 32-bit space
+    m32 = -(-m // 32) * 32
 
-    def gen_ref_and_packed(key):
+    def gen_ref32_and_packed(key):
         if generator == "pallas":
             bit_packs, packed = packed_workload_pallas_sharded(
                 key, message_len, cfg.channel_in, snr_db, scale, mesh,
                 BLOCK_AXIS, interpret=jax.default_backend() != "tpu")
-            # bpp=16 allows m % 32 == 16: build rounded-up 32-bit packs,
-            # split, then slice to the exact 16-bit pack count
-            m32 = -(-m // 32) * 32
-            ref32 = ref_words_from_packs(bit_packs, cfg.extra_l, m32)
-            ref = ref32 if cfg.bits_per_pack == 32 else \
-                _split_packs16(ref32)[: m // 16]
-            return ref, packed
+            return ref_words_from_packs(bit_packs, cfg.extra_l, m32), packed
         bits, packed = packed_workload(key, message_len, cfg.channel_in,
                                        snr_db, scale)
         bits = jax.lax.with_sharding_constraint(bits, block_sharding)
-        return _ref_words(bits, cfg, m), packed
+        return _ref_words32(bits, cfg, m32), packed
+
+    def count_errors(out, ref32):
+        if cfg.bits_per_pack == 32:
+            valid = out[: m // 32].astype(jnp.uint32)
+            return jnp.sum(jax.lax.population_count(valid ^ ref32)
+                           .astype(jnp.int32))
+        # bpp=16: compare the 16-bit output packs against the 32-bit
+        # reference halves without materializing an interleaved stream
+        # (a (n, 2) stack pads 2 -> 128 lanes under TPU tiling)
+        nh = m // 16
+        v = out[:nh].astype(jnp.uint32)
+        hi = (ref32 >> jnp.uint32(16))[: (nh + 1) // 2]
+        lo = (ref32 & jnp.uint32(0xFFFF))[: nh // 2]
+        return (jnp.sum(jax.lax.population_count(v[0::2] ^ hi)
+                        .astype(jnp.int32)) +
+                jnp.sum(jax.lax.population_count(v[1::2] ^ lo)
+                        .astype(jnp.int32)))
 
     def simulate(key):
-        ref, packed = gen_ref_and_packed(key)
+        ref32, packed = gen_ref32_and_packed(key)
         pad = words_needed - packed.shape[0]
         if pad > 0:
             packed = jnp.pad(packed, (0, pad))
@@ -137,10 +148,7 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
             packed = packed[:words_needed]
         packed = jax.lax.with_sharding_constraint(packed, block_sharding)
         out = decode_fn(packed)
-
-        valid = out[: m // cfg.bits_per_pack].astype(jnp.uint32)
-        ben = jnp.sum(jax.lax.population_count(valid ^ ref)
-                      .astype(jnp.int32))
+        ben = count_errors(out, ref32)
         if return_output:
             return ben, out
         return ben
