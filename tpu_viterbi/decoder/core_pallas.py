@@ -61,9 +61,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ChannelIn, DecoderConfig, NUM_STATES
 from .core_xla import (WARMUP, BlockPlan, assemble_output,
-                       overlapped_windows, validate_plan)
+                       needs_int32_renorm, overlapped_windows)
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
+
+# Per-core VMEM budget the kernel's static buffers must fit in.  The v5e
+# qualification runs bracket the real ceiling: ~30 MB of buffers compiles
+# and runs (lane_tile 256 at dec_len 8192), ~60 MB fails in Mosaic
+# ("exceeds VMEM", CLAUDE.md); 40 MiB keeps a safety margin inside that
+# bracket.  Plans that exceed it are rejected up front with a clear error
+# (see pallas_supported / decode_packed_pallas) instead of surfacing as a
+# raw Mosaic compile failure.
+VMEM_BUDGET_BYTES = 40 * 2 ** 20
 
 # Low-6-bit tap masks of the reversed polynomials (see trellis.py):
 # out_k(window) = parity(window & mask_k); window = state for the j=0 branch.
@@ -71,16 +80,64 @@ _TAP_MASK0 = 0o117 & 63
 _TAP_MASK1 = 0o155 & 63
 
 
-def pallas_supported(cfg: DecoderConfig, plan: BlockPlan) -> bool:
-    """All metric dtypes route through the int32 kernel: the reference
+def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
+                         lane_tile: int = LANE_TILE,
+                         fused: bool = True,
+                         value_mode: bool = False) -> int:
+    """Static VMEM bytes one kernel program needs under this plan: the
+    survivor scratch, the (double-buffered) input/output grid blocks, and
+    in fused word mode the word-major scratch.  Used to reject plans that
+    would blow the per-core VMEM budget (e.g. dec_len 32768+: the survivor
+    store alone is n_packs * 64 * lane_tile * 4 ≈ 34 MB) with a clean
+    error/fallback instead of a Mosaic compile crash."""
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    n_emit = plan.dec_len // bpp
+    surv = n_packs * NUM_STATES * lane_tile * 4
+    out = 2 * n_emit * lane_tile * 4          # double-buffered grid output
+    if value_mode or cfg.channel_in == ChannelIn.FP32:
+        rs = 2 * n_packs * bpp * 2 * lane_tile * 4
+        return surv + out + rs
+    dpp = cfg.enc_data_per_pack
+    words_per_block = (2 * plan.dec_len + 2 * WARMUP) // dpp
+    words = n_packs * (words_per_block // n_packs) * lane_tile * 4
+    if fused:                                 # word scratch + packed inputs
+        return surv + out + words + 2 * words_per_block * lane_tile * 4
+    return surv + out + 2 * words             # staged word-major input
+
+
+def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
+                     lane_tile: int = LANE_TILE) -> bool:
+    """True when the fused kernel both runs on this backend and fits the
+    plan in VMEM (vmem_footprint_bytes vs VMEM_BUDGET_BYTES) — callers on
+    backend='auto' fall back to the XLA scan core otherwise.
+
+    All metric dtypes route through the int32 kernel: the reference
     sizes renorm strides so int16 PMs never wrap and restricts fp16 to
     channels whose PMs stay integer-exact (viterbi.h:22-41, viterbi.cu:173)
     — the metric dtype is a performance knob with identical decodes, and
     the b16/fp16 XLA cores were verified bit-identical to this kernel on
-    full-range inputs (scripts/check_metric_equiv.py).  Mosaic on this
-    backend cannot lower int16/fp16 vectors anyway (PARITY.md P3); int32
-    is the fast representation for every mode."""
-    return jax.default_backend() in ("tpu", "axon")
+    full-range inputs (scripts/check_metric_equiv.py, guarded in CI by
+    tests/test_metric_equiv.py).  Mosaic on this backend cannot lower
+    int16/fp16 vectors anyway (PARITY.md P3); int32 is the fast
+    representation for every mode."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return vmem_footprint_bytes(cfg, plan, lane_tile) <= VMEM_BUDGET_BYTES
+
+
+def _check_vmem(cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
+                interpret: bool, fused: bool = True,
+                value_mode: bool = False) -> None:
+    if interpret:
+        return
+    need = vmem_footprint_bytes(cfg, plan, lane_tile, fused, value_mode)
+    if need > VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"plan does not fit VMEM: dec_len={plan.dec_len} x "
+            f"lane_tile={lane_tile} needs ~{need >> 20} MiB of kernel "
+            f"buffers (budget {VMEM_BUDGET_BYTES >> 20} MiB); lower "
+            f"dec_len/lane_tile or use the XLA backend")
 
 
 def _parity(v):
@@ -185,7 +242,7 @@ def _write_cat(e, o, write):
 
 
 def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
-                    n_emit, is_float, vpw=None, width=None):
+                    n_emit, is_float, vpw=None, width=None, renorm=False):
     """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
     staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
     channel words unpacked in-kernel (word mode, vpw = values per word)."""
@@ -288,6 +345,16 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
             pm, pp = run_stage(s, pm, pp)
 
         surv_ref[p] = pp & pack_mask            # survivor-pack dump
+        if renorm:
+            # per-pack min-subtract renormalization (decision-invariant;
+            # cf. viterbiACS.cuh:307-378): bounds PMs by the trellis mixing
+            # spread (~12 max|bm|) + one pack's growth, so int32 plans past
+            # the renorm-free block_len bound stay exact.  ~7 coarse-slice
+            # ops per 32 stages — off on the default plans.
+            m = jnp.minimum(pm[:32], pm[32:])
+            for h in (16, 8, 4, 2, 1):
+                m = jnp.minimum(m[:h], m[h:2 * h])
+            pm = pm - jnp.broadcast_to(m, pm.shape)
         return pm, pp
 
     zeros = jnp.zeros((NUM_STATES, lt), jnp.int32)
@@ -315,7 +382,8 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
 
 def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
-                          *, n_packs, bpp, n_conv, n_emit, vpw, width):
+                          *, n_packs, bpp, n_conv, n_emit, vpw, width,
+                          renorm=False):
     """Word-mode kernel with the staging transpose fused in: body_ref
     (LT, wpb) and halo_ref (LT, wph) arrive block-major straight from the
     packed channel stream (a free reshape view in HBM), are transposed once
@@ -330,7 +398,7 @@ def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
     words_ref[nb:] = halo_ref[...].T.reshape(n_packs - nb, wpp, lt)
     _viterbi_kernel(words_ref, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
                     n_conv=n_conv, n_emit=n_emit, is_float=False, vpw=vpw,
-                    width=width)
+                    width=width, renorm=renorm)
 
 
 def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
@@ -375,7 +443,8 @@ def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
 
     kernel = functools.partial(
         _viterbi_kernel_fused, n_packs=n_packs, bpp=bpp, n_conv=n_conv,
-        n_emit=n_emit, vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width)
+        n_emit=n_emit, vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width,
+        renorm=needs_int32_renorm(cfg, plan))
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
@@ -456,7 +525,8 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
 
     kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
                                n_conv=n_conv, n_emit=n_emit,
-                               is_float=is_float, **kw)
+                               is_float=is_float,
+                               renorm=needs_int32_renorm(cfg, plan), **kw)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
@@ -486,7 +556,7 @@ def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
     that XLA pads to 128 lanes — fine up to a few Mb, pathological at 32M
     bits.  Large runs should enter through decode_packed_pallas, which
     stages at packed-word granularity instead."""
-    validate_plan(cfg, plan)
+    _check_vmem(cfg, plan, lane_tile, interpret, value_mode=True)
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     rs = _stage_layout(r.astype(jnp.float32 if is_float else jnp.int32),
@@ -576,7 +646,7 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     (_viterbi_kernel_fused) — zero staging HBM round trips.  fused=False
     keeps the separate staging-transpose pass (stage_words_pallas) for A/B
     measurement.  FP32 goes through the sign-extended value staging."""
-    validate_plan(cfg, plan)
+    _check_vmem(cfg, plan, lane_tile, interpret, fused=fused)
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     if is_float:

@@ -102,17 +102,25 @@ _MAX_ABS_BM = {ChannelIn.HARD: 2, ChannelIn.SOFT4: 16,
                ChannelIn.FP32: 16}
 
 
+def needs_int32_renorm(cfg: DecoderConfig, plan: BlockPlan) -> bool:
+    """int32 path metrics normally run renorm-free (blocks reset PMs to
+    zero, so growth is bounded by block_len * max|bm|); once that bound
+    approaches 2^31 the cores switch on the same periodic min-subtract
+    renorm the b16/fp16 metrics always use (reference: viterbiACS.cuh:307-
+    378 — its b32 threshold 10^9 is _RENORM_LIMIT[M_B32]).  Renorm is
+    decision-invariant (a common subtrahend never changes a compare), so
+    decodes are bit-identical either way; SOFT16 at dec_len >= ~16K stages
+    is the binding case (tests/test_renorm.py pins the boundary)."""
+    return plan.block_len * _MAX_ABS_BM[cfg.channel_in] >= (1 << 30)
+
+
 def validate_plan(cfg: DecoderConfig, plan: BlockPlan) -> None:
-    """int32 path metrics are renorm-free (blocks reset PMs), which is only
-    sound while block_len * max|bm| stays far from 2^31 — enforce it, else
-    a huge --dec-len silently wraps PMs and corrupts decodes."""
-    growth = plan.block_len * _MAX_ABS_BM[cfg.channel_in]
-    if growth >= (1 << 30):
-        max_bl = (1 << 30) // _MAX_ABS_BM[cfg.channel_in]
-        raise ValueError(
-            f"dec_len {plan.dec_len} too large for the renorm-free int32 "
-            f"path-metric bound with {cfg.channel_in.name} input: "
-            f"block_len must stay below {max_bl} stages")
+    """Plan sanity guard (kept as the hook for future static checks).
+
+    The former int32-overflow rejection is gone: plans past the renorm-free
+    bound now decode correctly via needs_int32_renorm-gated renormalization
+    in both cores instead of failing."""
+    del cfg, plan
 
 
 def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
@@ -297,7 +305,8 @@ def forward_scan_staged(rs: jnp.ndarray, cfg: DecoderConfig,
     output of stage_layout_packed).  Returns (n_packs, 64, B) uint32."""
     B = rs.shape[3]
     bpp = plan.bits_per_pack
-    do_renorm = cfg.metric in (Metric.M_B16, Metric.M_FP16)
+    do_renorm = (cfg.metric in (Metric.M_B16, Metric.M_FP16)
+                 or needs_int32_renorm(cfg, plan))
     mdtype = metric_dtype(cfg.metric)
 
     pm0 = jnp.zeros((NUM_STATES, B), dtype=mdtype)
