@@ -207,3 +207,33 @@ def test_noiseless_decode_ber0():
     ben = int(np.sum(np.bitwise_count(
         np.asarray(out ^ ref).view(np.uint32))))
     assert ben == 0
+
+
+def test_generator_span_and_min_words_plan():
+    """Shard-local sizing contract (ADVICE r1): generator_span_stages is
+    the per-shard granularity, and min_words grows w_pad so the generated
+    word array can exactly equal a consumer's padded input length."""
+    from tpu_viterbi.chain.genkernel import _plan, generator_span_stages
+    # SOFT8: effective rows 128 (wpl 16), vpw 4 -> 2 stages/word
+    assert generator_span_stages(ChannelIn.SOFT8) == 128 * 128 * 2
+    span8 = 8 * 128 * 128
+    *_, w_pad, _ = _plan(1000, ChannelIn.SOFT8, 64, shards=8,
+                         min_words=span8)
+    assert w_pad == span8
+
+
+def test_sharded_simulation_pallas_generator_aligned_span():
+    """At an aligned size the sim's pad/slice is a no-op (the generated
+    stream IS the decoder input, shard-local end to end) and the decode is
+    still exact."""
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+    from tpu_viterbi.chain.genkernel import generator_span_stages
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    g = generator_span_stages(ChannelIn.SOFT8)
+    n = 8 * g                      # sd == g exactly -> aligned branch
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, m = simulate_sharded(cfg, n, mesh, snr_db=math.inf, seed=3,
+                              dec_len=2048, generator="pallas")
+    assert m == cfg.get_message_len(2 * n)
+    assert ben == 0

@@ -56,9 +56,12 @@ from ..config import CONST_LEN, POLY1, POLY2, ChannelIn
 from .channel import snr_to_sigma
 from .quantize import _QUANT_PARAMS
 
-GEN_ROWS = 64         # sublane rows of generator lanes per kernel program
-                      # (64 measured best at 128M bits: 6.0 ms vs 6.5 at
-                      # 32/128 and 9.6 at 256, scripts/check_genkernel.py)
+GEN_ROWS = 64         # requested sublane rows per kernel program; _plan
+                      # rounds up to a multiple of 8*wpl, so the EFFECTIVE
+                      # rows are 64 (HARD/SOFT4), 128 (SOFT8), 256 (SOFT16)
+                      # — an r8/r32/r64 sweep times the identical SOFT8
+                      # kernel (ADVICE r1).  Effective-value sweep:
+                      # scripts/genrows_sweep.py (TPU).
 
 _ROTS = (13, 15, 26, 6, 17, 29, 16, 24)
 _BITS_TAG = 1         # threefry c1 for message-bit draws
@@ -217,11 +220,14 @@ def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
     words_ref[...] = acc
 
 
-def _plan(n, channel_in, rows, shards=1):
+def _plan(n, channel_in, rows, shards=1, min_words=0):
     """Static tile plan shared by the local and sharded entry points:
     -> (rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad).
     w_pad is a multiple of shards * rows * 128 so every shard runs whole
-    kernel programs over a contiguous slab of the flat word stream."""
+    kernel programs over a contiguous slab of the flat word stream;
+    min_words lets a consumer (sharding/simulate.py) request extra zero
+    tail so the generated array IS its input — no reshard-inducing
+    pad/slice of a block-sharded stream."""
     if channel_in == ChannelIn.FP32:
         raise ValueError("FP32 channel has no packed-word form; use "
                          "chain.workload.packed_workload")
@@ -235,10 +241,17 @@ def _plan(n, channel_in, rows, shards=1):
     n_packs = -(-n // 32)
     n_words = -(-2 * n // vpw)
     span = rows * 128 * shards
-    w_pad = -(-n_words // span) * span
+    w_pad = -(-max(n_words, min_words) // span) * span
     p_pad = w_pad // wpl
     assert p_pad >= n_packs
     return rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad
+
+
+def generator_span_stages(channel_in: ChannelIn, rows: int = GEN_ROWS) -> int:
+    """Coded stages covered by one generator kernel program (the per-shard
+    sizing granularity): rows * 128 words * (vpw/2) stages each."""
+    rows, _, vpw, _, _, _, _, _ = _plan(1, channel_in, rows)
+    return rows * 128 * vpw // 2
 
 
 def _key_data(key):
@@ -302,7 +315,8 @@ def packed_workload_pallas_sharded(key: jax.Array, n: int,
                                    channel_in: ChannelIn, snr_db: float,
                                    scale: float, mesh, axis: str,
                                    rows: int = GEN_ROWS,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   min_words: int = 0):
     """Sharded fused generation: every device runs the SAME counter-mode
     kernel over its contiguous slab of the flat word stream, so the global
     streams are bit-identical to packed_workload_pallas at any mesh shape
@@ -320,7 +334,7 @@ def packed_workload_pallas_sharded(key: jax.Array, n: int,
 
     shards = mesh.shape[axis]
     rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
-        _plan(n, channel_in, rows, shards)
+        _plan(n, channel_in, rows, shards, min_words)
     w_loc = w_pad // shards
     kd = _key_data(key)
 

@@ -110,9 +110,16 @@ def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
         arr = arr[:words_needed]
 
     fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
-    x = jax.device_put(jnp.asarray(arr),
-                       NamedSharding(mesh, P(BLOCK_AXIS)))
-    out = np.asarray(jax.block_until_ready(fn(x)))
+    # device_put of the host array onto the (possibly multi-process) mesh:
+    # each process materializes only its addressable shards
+    x = jax.device_put(arr, NamedSharding(mesh, P(BLOCK_AXIS)))
+    out = jax.block_until_ready(fn(x))
+    if jax.process_count() > 1:
+        # the output spans non-addressable devices; gather over DCN so every
+        # process returns the full decoded stream (pod path, SURVEY §2.3 P7)
+        from jax.experimental import multihost_utils
+        out = multihost_utils.process_allgather(out, tiled=True)
+    out = np.asarray(out)
 
     message_len = cfg.get_message_len(input_num)
     return out[: message_len // cfg.bits_per_pack], message_len

@@ -93,12 +93,6 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     if m <= 0:
         raise ValueError(f"message_len {message_len} too short to decode")
 
-    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
-    dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
-    words_needed = sd * num_devices * 2 // dpp
-    if scale is None:
-        scale = DEFAULT_SCALES[cfg.channel_in]
-    block_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
     if generator == "auto":
         generator = "pallas" if (jax.default_backend() == "tpu" and
                                  cfg.channel_in != ChannelIn.FP32) else "xla"
@@ -107,15 +101,38 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
                          "(expected 'auto', 'pallas' or 'xla')")
     if generator == "pallas" and cfg.channel_in == ChannelIn.FP32:
         raise ValueError("FP32 channel requires generator='xla'")
+    if generator == "pallas":
+        # align each device's decode span to the generator's program
+        # granularity when the padding stays negligible (<= 1/8 extra
+        # stages): the generated word array is then EXACTLY the decoder
+        # input, so no pad/slice of a block-sharded stream — and no hidden
+        # cross-device reshard inside the jitted sim (ADVICE r1).  Tiny
+        # runs (CI shapes) keep the unaligned span + slice.
+        from ..chain.genkernel import generator_span_stages
+        g = generator_span_stages(cfg.channel_in)
+        sd_al = -(-sd // g) * g
+        if sd_al * num_devices <= total_stages + total_stages // 8:
+            sd = sd_al
+
+    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
+    dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
+    words_needed = sd * num_devices * 2 // dpp
+    if scale is None:
+        scale = DEFAULT_SCALES[cfg.channel_in]
+    block_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
     # bpp=16 allows m % 32 == 16; the reference stream is built as
     # rounded-up 32-bit packs either way and compared in 32-bit space
     m32 = -(-m // 32) * 32
 
     def gen_ref32_and_packed(key):
         if generator == "pallas":
+            # min_words: generate (at least) the decoder's exact padded
+            # input; with the aligned sd above the pad/slice in simulate()
+            # is a no-op and the stream never leaves its shards
             bit_packs, packed = packed_workload_pallas_sharded(
                 key, message_len, cfg.channel_in, snr_db, scale, mesh,
-                BLOCK_AXIS, interpret=jax.default_backend() != "tpu")
+                BLOCK_AXIS, interpret=jax.default_backend() != "tpu",
+                min_words=words_needed)
             return ref_words_from_packs(bit_packs, cfg.extra_l, m32), packed
         bits, packed = packed_workload(key, message_len, cfg.channel_in,
                                        snr_db, scale)
