@@ -2,21 +2,31 @@
 """Benchmark harness: decoded throughput on the current backend.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Metric: aggregate decoded Gb/s for the BASELINE.json headline config
-(K=7 rate-1/2, soft-8 input, int32 metrics, b32 packs), measured like the
-reference measures kernel time — around the decode computation only,
-excluding host<->device transfer (reference: cudaEvent pair around the
-kernel launch, src/viterbi/viterbi.cu:224-232).
+Primary metric: aggregate decoded Gb/s for the BASELINE.json headline
+config (K=7 rate-1/2, soft-8 input, int32 metrics, b32 packs), measured
+like the reference measures kernel time — around the decode computation
+only, excluding host<->device transfer (reference: cudaEvent pair around
+the kernel launch, src/viterbi/viterbi.cu:224-232).
 
-Harness notes for this dev environment: the TPU sits behind a relay that
-adds a fixed dispatch+fetch latency (~33 ms) and memoizes identical
-dispatches, and bulk host<->device transfer is slow.  Therefore the
-workload is generated on device, the BER check runs on device
-(XOR + population_count against the repacked ground truth), only scalars
-cross the wire, inputs differ per timed call, and the fluctuating
-dispatch+fetch floor is cancelled by a full-vs-half-size slope.
+Methodology (k-multi slope): the TPU here sits behind a relay that adds a
+fluctuating ~25-35 ms dispatch+fetch floor, memoizes identical dispatches,
+and has per-dispatch overhead that GROWS with input size — so a
+full-vs-half-size slope over-counts (r1's 9.98 ms vs the true 7.2 ms at
+32M, scripts/bench_profile.py).  Instead one dispatch runs the decode k
+times on distinct pre-staged inputs; (t_k - t_1)/(k-1) is the marginal
+cost of one decode+check with the floor and per-dispatch overhead
+cancelled exactly at constant dispatch shape.
+
+Also emitted:
+  ns_per_stage   kernel regression canary through relay noise: marginal
+                 seconds / (grid tiles * ACS stages per tile)
+  alu_floor_pct  ALU-op-count floor (ALU_FLOOR_NS, from
+                 scripts/op_cost_probe.py measurements) / ns_per_stage
+  e2e_gbps       the flagship in-graph loop (fused Pallas generation +
+                 decode + BER count as ONE jitted program,
+                 sharding/simulate.py), same k-multi slope over keys
 """
 
 import json
@@ -26,6 +36,16 @@ import time
 import numpy as np
 
 BASELINE_GBPS = 100.0
+
+# ALU-op-count floor per ACS stage per 128-block tile: ~15 minimal
+# (32,128) int32 vector ops (4 candidate adds, 2 compares, 4 selects,
+# BM select+sign, 3 register-exchange ops) at the measured ~0.85 ns per
+# (32,128) op on this backend (scripts/op_cost_probe.py; BASELINE.md
+# "where the single-chip number comes from").  ns_per_stage at 100% of
+# this would mean zero relayout overhead — the shipped rotating layout
+# measures ~45% relayout share, i.e. ~46-50%.
+ALU_FLOOR_NS = 12.75
+
 _T0 = time.time()
 
 
@@ -52,124 +72,92 @@ def main():
     # 64-stage halo amortizes over longer blocks
     dec_len = 8192
 
-    def setup(msg_len):
-        input_num = 2 * msg_len
-        m = cfg.get_message_len(input_num)
-        plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
-
-        @jax.jit
-        def make_workload(key):
-            """-> (packed channel words, ground-truth output words); flat
-            layouts end to end (chain/workload.py)."""
-            bits, packed = packed_workload(key, msg_len, ChannelIn.SOFT8,
-                                           snr_db, 32.0)
-            # reference-truth words: bits[extra_l:extra_l+m], MSB-first packs
-            from tpu_viterbi.chain.quantize import pack_words
-            ref_words = pack_words(
-                bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
-            return packed, ref_words
-
-        @jax.jit
-        def decode_and_check(packed, ref_words):
-            if use_pallas:
-                out = decode_packed_pallas(packed, cfg, plan)
-            else:
-                out = decode_packed_xla(packed, cfg, plan)
-            ben = jnp.sum(jax.lax.population_count(out ^ ref_words)
-                          .astype(jnp.int64))
-            # one fetched array -> exactly one dispatch+fetch round trip
-            return jnp.stack([jnp.sum(out.view(jnp.int32)).astype(jnp.int64),
-                              ben])
-
-        return m, make_workload, decode_and_check
+    input_num = 2 * message_len
+    m = cfg.get_message_len(input_num)
+    plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
 
     try:
-        from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
+        from tpu_viterbi.decoder.core_pallas import (LANE_TILE,
+                                                     decode_packed_pallas,
                                                      pallas_supported)
-        use_pallas = pallas_supported(
-            cfg, plan_blocks(cfg.get_message_len(2 * message_len),
-                             cfg.bits_per_pack, dec_len))
+        use_pallas = pallas_supported(cfg, plan)
     except Exception:
         use_pallas = False
 
-    # Slope methodology: time full decodes at m and m/2 and take the
-    # difference, which cancels the relay's dispatch+fetch floor exactly
-    # (the floor fluctuates +-8 ms run to run and swamps plain floor
-    # subtraction).  Decode cost is linear in message length (block-
-    # parallel over equal-size blocks), so kernel_s(m) = 2 * (t_m - t_m/2).
-    # Peak HBM stays at a single decode, which k>=2 multi-decode dispatches
-    # exceed at 32M bits on this backend.
-    m, make_full, decode_full = setup(message_len)
-    _, make_half, decode_half = setup(message_len // 2)
+    @jax.jit
+    def make_workload(key):
+        """-> (packed channel words, ground-truth output words); flat
+        layouts end to end (chain/workload.py)."""
+        bits, packed = packed_workload(key, message_len, ChannelIn.SOFT8,
+                                       snr_db, 32.0)
+        from tpu_viterbi.chain.quantize import pack_words
+        ref_words = pack_words(
+            bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
+        return packed, ref_words
 
-    _log(f"compiling (m={m}, backend="
+    def decode_and_check(packed, ref_words):
+        if use_pallas:
+            out = decode_packed_pallas(packed, cfg, plan)
+        else:
+            out = decode_packed_xla(packed, cfg, plan)
+        return jnp.sum(jax.lax.population_count(out ^ ref_words)
+                       .astype(jnp.int32))
+
+    def kmulti(*pairs_flat):
+        ps = list(zip(pairs_flat[0::2], pairs_flat[1::2]))
+        return sum(decode_and_check(p, r) for p, r in ps)
+
+    # k sized to HBM: each instance holds its input + staging copies
+    k_hi = 4 if message_len <= 64_000_000 else 2
+    n_inputs = k_hi + 2
+
+    _log(f"building {n_inputs} workloads (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
-    # compile + first run (also yields BEN for the correctness guard);
-    # workloads are generated one at a time and dropped after use — the
-    # relay memoizes identical dispatches (every timed dispatch must be
-    # first-seen) and holding many 32M workloads exhausts device HBM
-    w = jax.block_until_ready(make_full(jax.random.PRNGKey(42)))
-    ben = int(np.asarray(decode_full(*w))[1])
-    del w
-    w = jax.block_until_ready(make_half(jax.random.PRNGKey(52)))
-    np.asarray(decode_half(*w))
-    del w
+    ws = []
+    for i in range(n_inputs):
+        ws.append(jax.block_until_ready(
+            make_workload(jax.random.PRNGKey(42 + i))))
+    pairs = [w for w in ws]
+
+    flat = lambda tup: [x for pair in tup for x in pair]
+    n = len(pairs)
+    j1 = jax.jit(kmulti)
+    jh = jax.jit(kmulti)
+
+    # compile + correctness guard on the first workload
+    ben = int(np.asarray(j1(*flat(pairs[:1]))))
     ber = ben / m
-    _log(f"decode compiled; BEN={ben}; timing")
-
-    tf, th = [], []
-    for j in range(5):
-        w = jax.block_until_ready(make_full(jax.random.PRNGKey(43 + j)))
+    _log(f"BEN={ben}; timing decode (k-multi slope, k={k_hi})")
+    np.asarray(jh(*flat(pairs[:k_hi])))
+    tl, th = [], []
+    for j in range(4):
         t0 = time.perf_counter()
-        np.asarray(decode_full(*w))
-        tf.append(time.perf_counter() - t0)
-        del w
-        w = jax.block_until_ready(make_half(jax.random.PRNGKey(53 + j)))
+        np.asarray(j1(*flat([pairs[(j + 1) % n]])))
+        tl.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(decode_half(*w))
+        np.asarray(jh(*flat([pairs[(j + 2 + i) % n] for i in range(k_hi)])))
         th.append(time.perf_counter() - t0)
-        del w
-    _log(f"t_full: {[f'{t*1e3:.1f}ms' for t in tf]}  "
-         f"t_half: {[f'{t*1e3:.1f}ms' for t in th]}")
-    raw = min(tf)
-    med = lambda xs: sorted(xs)[len(xs) // 2]
-    # kernel work scales with padded lane tiles, not raw bits: at dec_len
-    # 8192 full pads to e.g. 31 tiles and half to 16, so a plain x2 slope
-    # would under-count by ~3%.  Scale by the actual tile ratio.
-    from tpu_viterbi.decoder.core_pallas import LANE_TILE
-
-    def tiles(ml):
-        blocks = -(-cfg.get_message_len(2 * ml) // dec_len)
-        return -(-blocks // LANE_TILE)
-    tf_tiles = tiles(message_len)
-    th_tiles = tiles(message_len // 2)
-    if tf_tiles > th_tiles:
-        ratio = tf_tiles / (tf_tiles - th_tiles)
-    else:
-        # tiny messages quantize to the same tile count — fall back to the
-        # message-length ratio (the work difference is then sub-tile)
-        ratio = 2.0
-    slope_s = (med(tf) - med(th)) * ratio
-    kernel_s = max(slope_s, 1e-9)
+    _log(f"t_k1: {[f'{t*1e3:.1f}ms' for t in tl]}  "
+         f"t_k{k_hi}: {[f'{t*1e3:.1f}ms' for t in th]}")
+    kernel_s = max((min(th) - min(tl)) / (k_hi - 1), 1e-9)
+    raw = min(tl)
     gbps = m / kernel_s / 1e9
 
-    if slope_s < 2e-4:
-        # decode time below the relay's timing resolution (tiny messages):
-        # a Gb/s figure would be meaningless noise
+    if kernel_s < 2e-4:
         print(json.dumps({"metric": "decoded_throughput_soft8_b32",
                           "value": 0.0, "unit": "Gb/s", "vs_baseline": 0.0,
                           "message_len": message_len, "ber_at_5p5dB": ber,
                           "error": "decode faster than timing resolution; "
                                    "use a larger message_len"}))
         return 0
-
     if ber > 1e-2:
         print(json.dumps({"metric": "decoded_throughput_soft8_b32",
                           "value": 0.0, "unit": "Gb/s", "vs_baseline": 0.0,
                           "error": f"BER {ber:.3g} too high"}))
         return 1
 
-    print(json.dumps({
+    # kernel-regression canaries (VERDICT r1 item 8)
+    result = {
         "metric": "decoded_throughput_soft8_b32",
         "value": round(gbps, 3),
         "unit": "Gb/s",
@@ -180,7 +168,48 @@ def main():
         "ber_at_5p5dB": ber,
         "backend": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if use_pallas:
+        tiles = -(-plan.num_blocks // LANE_TILE)
+        stages = tiles * plan.n_packs * plan.bits_per_pack
+        ns_stage = kernel_s * 1e9 / stages
+        result["ns_per_stage"] = round(ns_stage, 2)
+        result["alu_floor_pct"] = round(100.0 * ALU_FLOOR_NS / ns_stage, 1)
+
+    # flagship e2e: fused in-graph generate+decode+count (VERDICT item 10)
+    del ws, pairs
+    try:
+        from tpu_viterbi.sharding.mesh import make_block_mesh
+        from tpu_viterbi.sharding.simulate import build_sharded_simulation
+        mesh = make_block_mesh(jax.devices()[:1])
+        sim, m_e2e = build_sharded_simulation(
+            cfg, message_len, mesh, snr_db=snr_db, dec_len=dec_len)
+        keys = [jax.random.PRNGKey(1000 + i) for i in range(k_hi + 2)]
+
+        def sim_k(*ks):
+            return sum(sim(k) for k in ks)
+        s1, sh = jax.jit(sim_k), jax.jit(sim_k)
+        ben_e2e = int(np.asarray(s1(keys[0])))
+        np.asarray(sh(*keys[:k_hi]))
+        tl, th = [], []
+        for j in range(3):
+            t0 = time.perf_counter()
+            np.asarray(s1(keys[(j + 1) % len(keys)]))
+            tl.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(sh(*(keys[(j + 2 + i) % len(keys)]
+                            for i in range(k_hi))))
+            th.append(time.perf_counter() - t0)
+        e2e_s = max((min(th) - min(tl)) / (k_hi - 1), 1e-9)
+        _log(f"e2e t_k1: {[f'{t*1e3:.1f}ms' for t in tl]}  "
+             f"t_k{k_hi}: {[f'{t*1e3:.1f}ms' for t in th]}  BEN={ben_e2e}")
+        if e2e_s > 2e-4 and ben_e2e / m_e2e < 1e-2:
+            result["e2e_seconds"] = round(e2e_s, 6)
+            result["e2e_gbps"] = round(m_e2e / e2e_s / 1e9, 3)
+    except Exception as e:  # e2e is a secondary metric; never fail the run
+        _log(f"e2e metric skipped: {type(e).__name__}: {e}")
+
+    print(json.dumps(result))
     return 0
 
 

@@ -237,3 +237,68 @@ def test_sharded_simulation_pallas_generator_aligned_span():
                               dec_len=2048, generator="pallas")
     assert m == cfg.get_message_len(2 * n)
     assert ben == 0
+
+
+# --- FP32 channel in the fused generator (VERDICT r1 item 4) ---
+
+def test_f32_noiseless_vals_match_chain():
+    """sigma=0 FP32: the kernel's encode+BPSK+scale+interleave of its own
+    bits must be exactly the locked chain functions applied to those bits
+    (+-scale floats, dpp=1 interleaved wire format)."""
+    from tpu_viterbi.chain.quantize import interleave_2streams_f32
+    n = 17 * 1024 + 13
+    scale = 4.0
+    bit_packs, vals = packed_workload_pallas(
+        jax.random.PRNGKey(3), n, ChannelIn.FP32, math.inf, scale,
+        interpret=True)
+    assert vals.dtype == jnp.float32 and vals.shape == (2 * n,)
+
+    bits = unpack_msb_first(np.asarray(bit_packs).view(np.uint32), 32)[:n]
+    o0, o1 = conv_encode_streams(jnp.asarray(bits))
+    s0 = (o0.astype(jnp.float32) * 2.0 - 1.0) * scale
+    s1 = (o1.astype(jnp.float32) * 2.0 - 1.0) * scale
+    want = interleave_2streams_f32(s0, s1)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(want))
+
+
+def test_f32_sharded_bit_identical_across_mesh_shapes():
+    from tpu_viterbi.sharding.mesh import BLOCK_AXIS, make_block_mesh
+    from tpu_viterbi.chain.genkernel import packed_workload_pallas_sharded
+    n = 64 * 1024 + 7
+    key = jax.random.PRNGKey(21)
+    bp1, v1 = packed_workload_pallas(
+        key, n, ChannelIn.FP32, 4.0, 4.0, interpret=True)
+    mesh = make_block_mesh(jax.devices()[:8])
+    bp8, v8 = jax.jit(lambda k: packed_workload_pallas_sharded(
+        k, n, ChannelIn.FP32, 4.0, 4.0, mesh, BLOCK_AXIS,
+        interpret=True))(key)
+    np.testing.assert_array_equal(np.asarray(bp8)[: bp1.shape[0]],
+                                  np.asarray(bp1))
+    np.testing.assert_array_equal(np.asarray(v8)[: v1.shape[0]],
+                                  np.asarray(v1))
+    assert not np.any(np.asarray(v8)[v1.shape[0]:])
+
+
+def test_f32_noise_distribution():
+    """FP32 values at 3 dB: mean +-scale, std scale*sigma (no quantizer)."""
+    n = 128 * 1024
+    scale, snr = 4.0, 3.0
+    sigma = 10 ** (-snr / 5)
+    _, vals = packed_workload_pallas(
+        jax.random.PRNGKey(1), n, ChannelIn.FP32, snr, scale,
+        interpret=True)
+    v = np.asarray(vals, dtype=np.float64)[: 2 * n]
+    dev = np.where(v > 0, v - scale, v + scale) / (scale * sigma)
+    assert abs(np.mean(dev)) < 0.01
+    assert abs(np.std(dev) - 1.0) < 0.01
+
+
+def test_f32_sharded_simulation_pallas_generator_ber0():
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+    cfg = DecoderConfig(channel_in=ChannelIn.FP32)
+    mesh = make_block_mesh(jax.devices()[:8])
+    ben, m = simulate_sharded(cfg, 8 * 2048, mesh, snr_db=math.inf,
+                              seed=5, dec_len=512, generator="pallas")
+    assert m == cfg.get_message_len(2 * 8 * 2048)
+    assert ben == 0

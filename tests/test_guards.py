@@ -23,8 +23,10 @@ CFG = DecoderConfig(channel_in=ChannelIn.SOFT8)
 
 def test_footprint_matches_known_hardware_points():
     # the shipped bench config (dec_len 8192, lane_tile 128) compiles and
-    # runs on v5e; lane_tile 512 at the same dec_len fails in Mosaic
-    # ("exceeds VMEM", CLAUDE.md) — the estimate must bracket both
+    # runs on v5e at ~15.0M of the 16.00M scoped-vmem limit; the FP32
+    # two-stream kernel at the same dec_len was rejected by XLA at 24.44M
+    # (measured, scripts/check_fp32_scale.py) and lane_tile 512 fails in
+    # Mosaic — the estimate must bracket all three
     plan = plan_blocks(32_000_000, 32, 8192)
     good = vmem_footprint_bytes(CFG, plan, lane_tile=128)
     bad = vmem_footprint_bytes(CFG, plan, lane_tile=512)
@@ -32,6 +34,15 @@ def test_footprint_matches_known_hardware_points():
     assert bad > VMEM_BUDGET_BYTES
     # footprint scales with the survivor store
     assert bad > 3 * good
+    f32 = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
+                               plan, lane_tile=128)
+    assert 23_000_000 < f32 < 26_000_000      # matches XLA's 24.44M report
+    assert f32 > VMEM_BUDGET_BYTES
+    # FP32 rides the Pallas kernel at dec_len 4096 (~13M)
+    plan4 = plan_blocks(32_000_000, 32, 4096)
+    f32_4k = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
+                                  plan4, lane_tile=128)
+    assert f32_4k <= VMEM_BUDGET_BYTES
 
 
 @pytest.mark.parametrize("dec_len", [32768, 65536])
@@ -46,9 +57,13 @@ def test_huge_dec_len_rejected(monkeypatch, dec_len):
 
 def test_default_plans_supported_on_tpu_backend(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    for cfg in (CFG, DecoderConfig(channel_in=ChannelIn.HARD),
-                DecoderConfig(channel_in=ChannelIn.SOFT16)):
+    for cfg in (CFG, DecoderConfig(channel_in=ChannelIn.HARD)):
         assert pallas_supported(cfg, plan_blocks(32_000_000, 32, 8192))
+    # SOFT16's wider words (dpp=2) bust the scoped-vmem budget at dec_len
+    # 8192 (~21M > 16M) but fit at the default 2048
+    cfg16 = DecoderConfig(channel_in=ChannelIn.SOFT16)
+    assert not pallas_supported(cfg16, plan_blocks(32_000_000, 32, 8192))
+    assert pallas_supported(cfg16, plan_blocks(32_000_000, 32, 2048))
 
 
 def test_api_auto_falls_back_and_pallas_raises(monkeypatch):

@@ -9,8 +9,10 @@ the decode itself.  This kernel keeps everything in vector registers: the
 only HBM traffic is the packed outputs (~0.63 B/bit at SOFT8), and the
 random draws are recomputed from counters instead of stored.
 
-RNG: threefry2x32-20 on int32 vector ops, bit-identical to JAX's threefry
-function (verified in tests/test_genkernel.py), driven in counter mode:
+RNG: threefry2x32 on int32 vector ops (bit-identical to JAX's threefry
+function at 20 rounds, verified in tests/test_genkernel.py), driven in
+counter mode at GEN_ROUNDS=13 — the BigCrush-passing minimum (Salmon et
+al. SC'11), which cuts ~1/3 of the generator's ALU work vs 20 rounds:
 
   message-bit pack p (32 bits, MSB = earliest):
       pack = threefry(key, c0=p>>1, c1=1).x[p & 1]
@@ -58,35 +60,56 @@ from .quantize import _QUANT_PARAMS
 
 GEN_ROWS = 64         # requested sublane rows per kernel program; _plan
                       # rounds up to a multiple of 8*wpl, so the EFFECTIVE
-                      # rows are 64 (HARD/SOFT4), 128 (SOFT8), 256 (SOFT16)
-                      # — an r8/r32/r64 sweep times the identical SOFT8
-                      # kernel (ADVICE r1).  Effective-value sweep:
-                      # scripts/genrows_sweep.py (TPU).
+                      # rows are 64 (HARD/SOFT4), 128 (SOFT8), 256 (SOFT16),
+                      # 512 (FP32) — an r8/r32/r64 sweep times the identical
+                      # SOFT8 kernel (ADVICE r1).  Per-channel sweep of
+                      # effective values at 32M bits on v5e
+                      # (scripts/genrows_sweep.py): the minimum effective
+                      # rows wins for every channel (SOFT8 128: 2.80 ms vs
+                      # 256: 3.16, 512: 3.54; HARD 64: 1.46 vs 128: 1.83;
+                      # SOFT16 256: 4.79 vs 512: 5.29; FP32 512: 10.7 vs
+                      # 1024: 11.3) — larger tiles only add VMEM pressure,
+                      # so the default stays 64.
 
 _ROTS = (13, 15, 26, 6, 17, 29, 16, 24)
 _BITS_TAG = 1         # threefry c1 for message-bit draws
 _NOISE_TAG = 2        # threefry c1 base for noise draws
+
+# Rounds for the generator's in-kernel draws.  13 is the Threefry-2x32
+# BigCrush-passing minimum (Salmon et al., "Parallel random numbers: as
+# easy as 1, 2, 3", SC'11, Table 2) — the RNG is ~2/3 of the generator's
+# ALU work, so dropping 20 -> 13 rounds cuts ~35% of it; statistical
+# quality is gated by the BER-waterfall agreement check
+# (scripts/check_gen_ber.py) and the Gaussian-tail tests
+# (tests/test_genkernel.py).
+GEN_ROUNDS = 13
 
 
 def _rotl(x, r):
     return (x << r) | jax.lax.shift_right_logical(x, 32 - r)
 
 
-def threefry2x32(k0, k1, c0, c1):
-    """threefry2x32-20 on int32 arrays (wrapping int32 adds == uint32
-    semantics); bit-identical to jax._src.prng.threefry_2x32."""
+def threefry2x32(k0, k1, c0, c1, rounds=20):
+    """threefry2x32 on int32 arrays (wrapping int32 adds == uint32
+    semantics); at the default 20 rounds bit-identical to
+    jax._src.prng.threefry_2x32.  Key injection every 4 rounds per the
+    Threefish/Threefry schedule, so any `rounds` is well-defined."""
     ks2 = jnp.int32(0x1BD11BDA) ^ k0 ^ k1
     ks = (k0, k1, ks2)
     x0 = c0 + k0
     x1 = c1 + k1
-    for g in range(5):
+    r = g = 0
+    while r < rounds:
+        n = min(4, rounds - r)
         base = 4 * (g % 2)
-        for i in range(4):
+        for i in range(n):
             x0 = x0 + x1
             x1 = _rotl(x1, _ROTS[base + i])
             x1 = x1 ^ x0
-        x0 = x0 + ks[(g + 1) % 3]
-        x1 = x1 + ks[(g + 2) % 3] + jnp.int32(g + 1)
+        r += n
+        g += 1
+        x0 = x0 + ks[g % 3]
+        x1 = x1 + ks[(g + 1) % 3] + jnp.int32(g)
     return x0, x1
 
 
@@ -119,7 +142,8 @@ def _bit_pack(k0, k1, idx):
     """Message-bit pack `idx` (32 bits, MSB = earliest): half (idx & 1) of
     threefry call (idx >> 1, _BITS_TAG); packs at negative indices (the
     encoder's pre-history) are zero."""
-    x0, x1 = threefry2x32(k0, k1, idx >> 1, jnp.int32(_BITS_TAG))
+    x0, x1 = threefry2x32(k0, k1, idx >> 1, jnp.int32(_BITS_TAG),
+                          rounds=GEN_ROUNDS)
     pack = jnp.where((idx & 1) == 1, x1, x0)
     return jnp.where(idx < 0, 0, pack)
 
@@ -200,7 +224,8 @@ def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
         stage_ok = (w * spw + j) < n_bits       # one stage per message bit
         if sigma:
             zs = normal_pair(*threefry2x32(k0, k1, w,
-                                           jnp.int32(_NOISE_TAG + j)))
+                                           jnp.int32(_NOISE_TAG + j),
+                                           rounds=GEN_ROUNDS))
         for stream, o_win in enumerate((o0, o1)):
             # stage w*spw+j is window bit 6+j (from MSB) = value bit 25-j
             bit = jax.lax.shift_right_logical(
@@ -218,6 +243,103 @@ def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
             f_pos = 2 * j + stream              # field index within word
             acc = acc | (field << (32 - (f_pos + 1) * width))
     words_ref[...] = acc
+
+
+def _gen_kernel_f32(key_ref, bits_ref, vals_ref, *, n_bits, rows, scale,
+                    sigma):
+    """FP32-channel tile: element (r, lane) of vals_ref (R, 128) IS the
+    interleaved channel value at flat position
+    v = base + program_id*R*128 + r*128 + lane — stage v>>1, stream v&1 —
+    so the kernel emits the FP32 wire format (dpp=1, scaled floats,
+    [out0, out1] per stage, viterbiDF.h order) directly, with the same
+    counter-mode bit stream as the packed channels (_bit_pack) and one
+    Box-Muller noise pair per stage at counter (s, _NOISE_TAG).  bits_ref
+    (R // 64, 128): 64 values = 32 message bits per pack."""
+    k0 = key_ref[0]
+    k1 = key_ref[1]
+    v0 = key_ref[2] + pl.program_id(0) * (rows * 128)
+    v = v0 + _iota2(rows)
+    s = v >> 1                                  # stage = message-bit index
+    stream = v & 1
+
+    # ---- message-bit packs output (pack-owner indexing) ----
+    p = v0 // 64 + _iota2(rows // 64)
+    own = _bit_pack(k0, k1, p)
+    keep = jnp.clip(n_bits - 32 * p, 0, 32)     # zero bits >= n_bits
+    tail_mask = jnp.where(
+        keep >= 32, jnp.int32(-1),
+        jnp.where(keep <= 0, 0,
+                  jnp.int32(-1) << (32 - jnp.minimum(keep, 31))))
+    bits_ref[...] = own & tail_mask
+
+    # ---- per-value encoder window: bits [s - 6, s + 26) ----
+    off = s - (CONST_LEN - 1)
+    pk = off >> 5
+    sh = off & 31
+    p1 = _bit_pack(k0, k1, pk)
+    p2 = _bit_pack(k0, k1, pk + 1)
+    u = (p1 << sh) | jnp.where(
+        sh == 0, 0, jax.lax.shift_right_logical(p2, 32 - sh))
+
+    shifted = {0: u}
+    for d in sorted(set(_TAPS_D0 + _TAPS_D1) - {0}):
+        shifted[d] = jax.lax.shift_right_logical(u, d)
+    o0 = shifted[_TAPS_D0[0]]
+    for d in _TAPS_D0[1:]:
+        o0 = o0 ^ shifted[d]
+    o1 = shifted[_TAPS_D1[0]]
+    for d in _TAPS_D1[1:]:
+        o1 = o1 ^ shifted[d]
+
+    # stage s is window bit 6 (from MSB) of its own window
+    b0 = jax.lax.shift_right_logical(o0, 32 - CONST_LEN) & 1
+    b1 = jax.lax.shift_right_logical(o1, 32 - CONST_LEN) & 1
+    bit = jnp.where(stream == 1, b1, b0)
+    val = (bit.astype(jnp.float32) * 2.0 - 1.0) * jnp.float32(scale)
+    if sigma:
+        z0, z1 = normal_pair(*threefry2x32(k0, k1, s, jnp.int32(_NOISE_TAG),
+                                           rounds=GEN_ROUNDS))
+        val = val + jnp.float32(scale * sigma) * jnp.where(stream == 1,
+                                                           z1, z0)
+    vals_ref[...] = jnp.where(s < n_bits, val, jnp.float32(0.0))
+
+
+# one bit-pack spans 64 interleaved FP32 values, so the bits block
+# (rows // 64, 128) pins rows to a multiple of 8 * 64
+_F32_ROW_QUANTUM = 512
+
+
+def _plan_f32(n, rows, shards=1, min_vals=0):
+    """FP32 tile plan: -> (rows, n_packs, n_vals, v_pad, p_pad)."""
+    rows = -(-rows // _F32_ROW_QUANTUM) * _F32_ROW_QUANTUM
+    n_packs = -(-n // 32)
+    n_vals = 2 * n
+    span = rows * 128 * shards
+    v_pad = -(-max(n_vals, min_vals) // span) * span
+    p_pad = v_pad // 64
+    assert p_pad >= n_packs
+    return rows, n_packs, n_vals, v_pad, p_pad
+
+
+def _call_gen_kernel_f32(kd, base, *, n, snr_db, scale, rows, grid,
+                         interpret):
+    sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
+    kernel = functools.partial(_gen_kernel_f32, n_bits=n, rows=rows,
+                               scale=float(scale), sigma=float(sigma))
+    kd_base = jnp.concatenate([kd, base.reshape(1)])
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((rows // 64, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((grid * rows // 64, 128),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((grid * rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(kd_base)
 
 
 def _plan(n, channel_in, rows, shards=1, min_words=0):
@@ -249,7 +371,11 @@ def _plan(n, channel_in, rows, shards=1, min_words=0):
 
 def generator_span_stages(channel_in: ChannelIn, rows: int = GEN_ROWS) -> int:
     """Coded stages covered by one generator kernel program (the per-shard
-    sizing granularity): rows * 128 words * (vpw/2) stages each."""
+    sizing granularity): rows * 128 words * (vpw/2) stages each (FP32:
+    rows * 128 values = rows * 64 stages)."""
+    if channel_in == ChannelIn.FP32:
+        rows = -(-rows // _F32_ROW_QUANTUM) * _F32_ROW_QUANTUM
+        return rows * 128 // 2
     rows, _, vpw, _, _, _, _, _ = _plan(1, channel_in, rows)
     return rows * 128 * vpw // 2
 
@@ -297,13 +423,18 @@ def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
     """Fused-generation analog of chain.workload.packed_workload.
 
     -> (bit_packs (ceil(n/32),) int32  [message bits, MSB = earliest],
-        packed channel words (ceil(2n/vpw),) int32)
-
-    Supports the packed integer channels (HARD/SOFT4/SOFT8/SOFT16); FP32
-    has no packed word stream (dpp=1) and stays on the XLA path."""
+        packed channel words (ceil(2n/vpw),) int32; for FP32 the channel
+        stream is the (2n,) interleaved scaled float values — the dpp=1
+        wire format)."""
+    kd = _key_data(key)
+    if channel_in == ChannelIn.FP32:
+        rows, n_packs, n_vals, v_pad, _ = _plan_f32(n, rows)
+        bits, vals = _call_gen_kernel_f32(
+            kd, jnp.int32(0), n=n, snr_db=snr_db, scale=scale, rows=rows,
+            grid=v_pad // (rows * 128), interpret=interpret)
+        return bits.reshape(-1)[:n_packs], vals.reshape(-1)[:n_vals]
     rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
         _plan(n, channel_in, rows)
-    kd = _key_data(key)
     bits, words = _call_gen_kernel(
         kd, jnp.int32(0), n=n, channel_in=channel_in, snr_db=snr_db,
         scale=scale, rows=rows, grid=w_pad // (rows * 128), width=width,
@@ -333,17 +464,26 @@ def packed_workload_pallas_sharded(key: jax.Array, n: int,
     from jax.sharding import PartitionSpec as P
 
     shards = mesh.shape[axis]
-    rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
-        _plan(n, channel_in, rows, shards, min_words)
+    if channel_in == ChannelIn.FP32:
+        rows, n_packs, n_vals, w_pad, p_pad = _plan_f32(n, rows, shards,
+                                                        min_words)
+    else:
+        rows, width, vpw, wpl, n_packs, n_words, w_pad, p_pad = \
+            _plan(n, channel_in, rows, shards, min_words)
     w_loc = w_pad // shards
     kd = _key_data(key)
 
     def gen_local(kd):
         d = jax.lax.axis_index(axis).astype(jnp.int32)
-        bits, words = _call_gen_kernel(
-            kd, d * w_loc, n=n, channel_in=channel_in, snr_db=snr_db,
-            scale=scale, rows=rows, grid=w_loc // (rows * 128), width=width,
-            vpw=vpw, wpl=wpl, interpret=interpret)
+        if channel_in == ChannelIn.FP32:
+            bits, words = _call_gen_kernel_f32(
+                kd, d * w_loc, n=n, snr_db=snr_db, scale=scale, rows=rows,
+                grid=w_loc // (rows * 128), interpret=interpret)
+        else:
+            bits, words = _call_gen_kernel(
+                kd, d * w_loc, n=n, channel_in=channel_in, snr_db=snr_db,
+                scale=scale, rows=rows, grid=w_loc // (rows * 128),
+                width=width, vpw=vpw, wpl=wpl, interpret=interpret)
         return bits.reshape(-1), words.reshape(-1)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes

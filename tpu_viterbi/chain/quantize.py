@@ -161,6 +161,43 @@ def pack_words_2streams(q0: jnp.ndarray, q1: jnp.ndarray,
     return word_acc.reshape(-1)[:n_words]
 
 
+def _interleave_matrices():
+    """One-hot scatter matrices for the f32 stream interleave: S[j, 2j+s]=1
+    places value j of stream s into interleaved position 2j+s per 128-wide
+    output row."""
+    s0 = np.zeros((64, 128), np.float32)
+    s1 = np.zeros((64, 128), np.float32)
+    for j in range(64):
+        s0[j, 2 * j] = 1.0
+        s1[j, 2 * j + 1] = 1.0
+    return s0, s1
+
+
+def interleave_2streams_f32(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Two (n,) float32 streams -> the (2n,) interleaved stream
+    [x0[0], x1[0], x1[1], ...] (the FP32 channel's wire format, dpp=1;
+    viterbiDF.h:157-163 interleave order) WITHOUT forming the (n, 2) pair
+    array (whose minor dim pads 2 -> 128 lanes under TPU tiling — fatal at
+    100M+ bits, chain/workload.py).  One MXU matmul per stream against a
+    one-hot scatter matrix; one-hot rows make every output an exact copy
+    of one input, so the interleave is bit-exact at any precision mode
+    (HIGHEST requested for safety)."""
+    n = x0.shape[0]
+    n_pad = (-n) % 64
+    if n_pad:
+        z = jnp.zeros((n_pad,), jnp.float32)
+        x0 = jnp.concatenate([x0.astype(jnp.float32), z])
+        x1 = jnp.concatenate([x1.astype(jnp.float32), z])
+    s0, s1 = _interleave_matrices()
+    y = (jnp.dot(x0.astype(jnp.float32).reshape(-1, 64), jnp.asarray(s0),
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) +
+         jnp.dot(x1.astype(jnp.float32).reshape(-1, 64), jnp.asarray(s1),
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST))
+    return y.reshape(-1)[: 2 * n]
+
+
 def unpack_to_soft(packed: jnp.ndarray, channel_in: ChannelIn) -> jnp.ndarray:
     """Packed words -> per-value soft array.
 

@@ -65,14 +65,15 @@ from .core_xla import (WARMUP, BlockPlan, assemble_output,
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 
-# Per-core VMEM budget the kernel's static buffers must fit in.  The v5e
-# qualification runs bracket the real ceiling: ~30 MB of buffers compiles
-# and runs (lane_tile 256 at dec_len 8192), ~60 MB fails in Mosaic
-# ("exceeds VMEM", CLAUDE.md); 40 MiB keeps a safety margin inside that
-# bracket.  Plans that exceed it are rejected up front with a clear error
-# (see pallas_supported / decode_packed_pallas) instead of surfacing as a
-# raw Mosaic compile failure.
-VMEM_BUDGET_BYTES = 40 * 2 ** 20
+# Per-core VMEM budget the kernel's static buffers must fit in.  XLA's
+# scoped-vmem allocator enforces a 16.00M limit on this backend (measured:
+# the FP32 two-stream kernel at dec_len 8192 was rejected at compile time
+# with "Scoped allocation with size 24.44M and limit 16.00M" — exactly
+# vmem_footprint_bytes' prediction — while the 15.0M SOFT8 bench config
+# compiles and runs).  Plans that exceed it are rejected up front with a
+# clear error (see pallas_supported / decode_packed_pallas) or fall back
+# to the XLA core instead of surfacing as a raw compile failure.
+VMEM_BUDGET_BYTES = 16 * 10 ** 6
 
 # Low-6-bit tap masks of the reversed polynomials (see trellis.py):
 # out_k(window) = parity(window & mask_k); window = state for the j=0 branch.
@@ -241,11 +242,13 @@ def _write_cat(e, o, write):
     return jnp.concatenate([srcs[s][a:a + n] for s, a, n in write], axis=0)
 
 
-def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
-                    n_emit, is_float, vpw=None, width=None, renorm=False):
-    """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
-    staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
-    channel words unpacked in-kernel (word mode, vpw = values per word)."""
+def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
+                 n_emit, is_float, renorm=False):
+    """Shared fused decode body: rotating-layout ACS + survivor dump +
+    in-kernel traceback.  make_ud(p) -> ud(s) -> ((1, LT) u, (1, LT) d)
+    per-stage sum/difference soft pairs for pack p — the input-format
+    adapters (_viterbi_kernel value/word modes, _viterbi_kernel_f32_2s)
+    differ only in how they produce u/d."""
     lt = out_ref.shape[1]
     assert bpp % GROUP_LEN == 0
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
@@ -267,43 +270,12 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
     def pack_body(p, carry):
         pm, pp = carry
-        # bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two values
-        # +-(r0+r1), +-(r0-r1) exist per stage (cf. the reference's
-        # 4-entry branchMetric ring, viterbiBM.cuh:178-185) — compute
-        # the whole pack's u/d up front; per-stage (2, LT) VMEM loads
-        # measured ~12 ns/stage extra
-        if vpw is None:                         # value mode: (bpp, 2, LT)
-            rp = rs_ref[p]
-            u_all = rp[:, 0] + rp[:, 1]         # (bpp, LT)
-            d_all = rp[:, 0] - rp[:, 1]
-        else:
-            # word mode: (wpp, LT) packed channel words (MSB = earliest,
-            # viterbiDF.h:157-163); the unpack is ~10 cheap (wpp, LT) ops
-            # per pack, vs staging sign-extended values in HBM (4x the
-            # input traffic at SOFT8)
-            wv = rs_ref[p]                      # (wpp, LT) int32
-            ppw = vpw // 2                      # stage-pairs per word
-            u_js, d_js = [], []
-            for j in range(ppw):
-                if width == 1:                  # HARD: bit -> +-1
-                    a0 = ((wv >> (31 - 2 * j)) & 1) * 2 - 1
-                    a1 = ((wv >> (30 - 2 * j)) & 1) * 2 - 1
-                else:                           # two's-complement field
-                    a0 = (wv << (2 * j * width)) >> (32 - width)
-                    a1 = (wv << ((2 * j + 1) * width)) >> (32 - width)
-                u_js.append(a0 + a1)            # (wpp, LT)
-                d_js.append(a0 - a1)
+        ud = make_ud(p)
 
         def run_stage(s, pm, pp):
             runs_lo, runs_hi, s0, s1, same_sign, write = \
                 consts[s % GROUP_LEN]
-            if vpw is None:
-                u = u_all[s:s + 1]              # (1, LT)
-                d = d_all[s:s + 1]
-            else:
-                j, k = s % ppw, s // ppw
-                u = u_js[j][k:k + 1]
-                d = d_js[j][k:k + 1]
+            u, d = ud(s)                        # (1, LT) each
             if is_float:
                 # (u+d)/2 * s0 + (u-d)/2 * s1 == r0*s0 + r1*s1; with +-1
                 # signs this is u or d times the sign, like the int path
@@ -379,6 +351,73 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
     jax.lax.fori_loop(0, n_conv + n_emit, tb_body,
                       jnp.zeros((1, lt), jnp.int32))
+
+
+def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
+                    n_emit, is_float, vpw=None, width=None, renorm=False):
+    """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
+    staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
+    channel words unpacked in-kernel (word mode, vpw = values per word).
+
+    bm = s0*r0 + s1*r1 with s0,s1 in {+-1}: only the two values
+    +-(r0+r1), +-(r0-r1) exist per stage (cf. the reference's 4-entry
+    branchMetric ring, viterbiBM.cuh:178-185) — each adapter computes the
+    whole pack's u/d up front; per-stage (2, LT) VMEM loads measured
+    ~12 ns/stage extra."""
+    if vpw is None:
+        def make_ud(p):                         # value mode: (bpp, 2, LT)
+            rp = rs_ref[p]
+            u_all = rp[:, 0] + rp[:, 1]         # (bpp, LT)
+            d_all = rp[:, 0] - rp[:, 1]
+            return lambda s: (u_all[s:s + 1], d_all[s:s + 1])
+    else:
+        # word mode: (wpp, LT) packed channel words (MSB = earliest,
+        # viterbiDF.h:157-163); the unpack is ~10 cheap (wpp, LT) ops
+        # per pack, vs staging sign-extended values in HBM (4x the
+        # input traffic at SOFT8)
+        ppw = vpw // 2                          # stage-pairs per word
+
+        def make_ud(p):
+            wv = rs_ref[p]                      # (wpp, LT) int32
+            u_js, d_js = [], []
+            for j in range(ppw):
+                if width == 1:                  # HARD: bit -> +-1
+                    a0 = ((wv >> (31 - 2 * j)) & 1) * 2 - 1
+                    a1 = ((wv >> (30 - 2 * j)) & 1) * 2 - 1
+                else:                           # two's-complement field
+                    a0 = (wv << (2 * j * width)) >> (32 - width)
+                    a1 = (wv << ((2 * j + 1) * width)) >> (32 - width)
+                u_js.append(a0 + a1)            # (wpp, LT)
+                d_js.append(a0 - a1)
+
+            def ud(s):
+                j, k = s % ppw, s // ppw
+                return u_js[j][k:k + 1], d_js[j][k:k + 1]
+            return ud
+
+    _decode_core(make_ud, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
+                 n_conv=n_conv, n_emit=n_emit, is_float=is_float,
+                 renorm=renorm)
+
+
+def _viterbi_kernel_f32_2s(rs0_ref, rs1_ref, out_ref, surv_ref, *, n_packs,
+                           bpp, n_conv, n_emit, renorm=False):
+    """FP32 two-stream value mode: the channel's two parity-value streams
+    arrive as separate (n_packs, bpp, LT) float tensors (flat staging,
+    core_xla.stage_floats_2streams) instead of one (n_packs, bpp, 2, LT)
+    tensor whose 2-wide second-minor axis pads 2 -> 8 sublanes under TPU
+    tiling — a 4x VMEM/HBM blowup that made FP32 infeasible at the
+    production dec_len (VERDICT r1 item 4; reference handles FP32 at any n
+    trivially, viterbiBM.cuh:128-153)."""
+    def make_ud(p):
+        r0 = rs0_ref[p]                         # (bpp, LT) f32
+        r1 = rs1_ref[p]
+        u_all = r0 + r1
+        d_all = r0 - r1
+        return lambda s: (u_all[s:s + 1], d_all[s:s + 1])
+
+    _decode_core(make_ud, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
+                 n_conv=n_conv, n_emit=n_emit, is_float=True, renorm=renorm)
 
 
 def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
@@ -543,6 +582,37 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
     return assemble_output(out_packs, cfg, plan)
 
 
+def _run_kernel_f32_2s(rs0: jnp.ndarray, rs1: jnp.ndarray,
+                       cfg: DecoderConfig, plan: BlockPlan,
+                       lane_tile: int, interpret: bool = False):
+    """Two flat-staged FP32 streams -> packed output words."""
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)
+    n_emit = plan.dec_len // bpp
+    b_pad = rs0.shape[-1]
+
+    kernel = functools.partial(_viterbi_kernel_f32_2s, n_packs=n_packs,
+                               bpp=bpp, n_conv=n_conv, n_emit=n_emit,
+                               renorm=needs_int32_renorm(cfg, plan))
+    in_spec = pl.BlockSpec((n_packs, bpp, lane_tile), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // lane_tile,),
+        in_specs=[in_spec, in_spec],
+        out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
+                                   jnp.int32)],
+        interpret=interpret,
+    )(rs0, rs1)
+
+    out_packs = out.transpose(1, 0)[:plan.num_blocks].view(jnp.uint32)
+    return assemble_output(out_packs, cfg, plan)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "plan", "lane_tile", "interpret"))
 def decode_blocks_pallas(r: jnp.ndarray, cfg: DecoderConfig,
@@ -650,9 +720,10 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     is_float = cfg.channel_in == ChannelIn.FP32
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     if is_float:
-        rs = _stage_layout_packed(packed.astype(jnp.float32), cfg, plan,
-                                  b_pad)
-        return _run_kernel(rs, cfg, plan, lane_tile, interpret)
+        from .core_xla import stage_floats_2streams
+        rs0, rs1 = stage_floats_2streams(packed.astype(jnp.float32), cfg,
+                                         plan, b_pad)
+        return _run_kernel_f32_2s(rs0, rs1, cfg, plan, lane_tile, interpret)
     if fused:
         body, halo = _block_major_words(packed.astype(jnp.int32), cfg,
                                         plan, b_pad)

@@ -224,6 +224,27 @@ def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
     return vals.reshape(plan.n_packs, plan.bits_per_pack, 2, b_pad)
 
 
+def stage_floats_2streams(packed: jnp.ndarray, cfg: DecoderConfig,
+                          plan: BlockPlan, b_pad: int):
+    """FP32 interleaved value stream -> two (n_packs, bpp, b_pad) flat
+    float tensors (r0 stream, r1 stream), clamped to the reference's
+    FP_PRECISION window (viterbiBM.cuh:139-151).
+
+    The block split runs on the interleaved stream (stage_words, dpp=1);
+    the r0/r1 split is a stride-2 row slice of the (Lw, b_pad) word-major
+    layout — every intermediate keeps the big b_pad minor dim, so nothing
+    pads 2 -> 8 sublanes.  This is what makes FP32 feasible at production
+    dec_len/scale (the old (n_packs, bpp, 2, b_pad) layout cost 4x VMEM
+    and HBM; VERDICT r1 item 4)."""
+    from ..config import FP_PRECISION
+    lo = float(-(1 << (FP_PRECISION - 1)))
+    hi = float((1 << (FP_PRECISION - 1)) - 1)
+    wt = stage_words(packed, cfg, plan, b_pad)          # (Lw, b_pad) f32
+    v = jnp.clip(wt, lo, hi)
+    shp = (plan.n_packs, plan.bits_per_pack, b_pad)
+    return v[0::2].reshape(shp), v[1::2].reshape(shp)
+
+
 # BPSK sign of each expected coded bit on the j=0 branch, per state:
 # +1 where the expected bit is 1 (correlation convention of the reference's
 # dp2a/dp4a coefficient tables, viterbiBM.cuh:45-124).

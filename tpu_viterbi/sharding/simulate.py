@@ -79,11 +79,11 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     a noiseless channel (sigma=0 passthrough, viterbiDF.h:79-85).
 
     generator: "pallas" = fused counter-mode kernel (chain/genkernel.py,
-    ~2x faster generation on TPU, interpret mode elsewhere), "xla" =
-    element chain with partitionable threefry, "auto" = pallas on the TPU
-    backend for the packed integer channels, xla otherwise. The two
-    generators draw different (equally Gaussian) random streams, so BEN
-    values differ under noise but BER statistics match.
+    ~2x faster generation on TPU, interpret mode elsewhere; FP32 emits the
+    dpp=1 interleaved float wire format directly), "xla" = element chain
+    with partitionable threefry, "auto" = pallas on the TPU backend, xla
+    otherwise. The two generators draw different (equally Gaussian) random
+    streams, so BEN values differ under noise but BER statistics match.
     """
     num_devices = mesh.shape[BLOCK_AXIS]
     total_stages = message_len
@@ -94,13 +94,10 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
         raise ValueError(f"message_len {message_len} too short to decode")
 
     if generator == "auto":
-        generator = "pallas" if (jax.default_backend() == "tpu" and
-                                 cfg.channel_in != ChannelIn.FP32) else "xla"
+        generator = "pallas" if jax.default_backend() == "tpu" else "xla"
     if generator not in ("pallas", "xla"):
         raise ValueError(f"unknown generator {generator!r} "
                          "(expected 'auto', 'pallas' or 'xla')")
-    if generator == "pallas" and cfg.channel_in == ChannelIn.FP32:
-        raise ValueError("FP32 channel requires generator='xla'")
     if generator == "pallas":
         # align each device's decode span to the generator's program
         # granularity when the padding stays negligible (<= 1/8 extra
