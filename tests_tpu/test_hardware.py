@@ -68,6 +68,15 @@ def test_generator_ber_waterfall_agreement():
 
 
 @requires_tpu
+def test_all_channel_formats_decode_at_speed():
+    """Every channel input format (HARD/SOFT4/SOFT8/SOFT16/FP32) must
+    decode error-free at 5.5 dB through its production kernel path and
+    report a sane k-multi throughput slope (8M bits keeps battery runtime
+    down; the 32M reference table lives in bench/channel_throughput.json)."""
+    _run("channel_throughput.py", "8000000")
+
+
+@requires_tpu
 def test_ingraph_simulation_on_chip():
     """The fully in-graph chain (sharded generation -> decode -> BEN, one
     scalar off-device) must run on the real chip over a 1-device mesh and
