@@ -132,6 +132,7 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)
+            f.write('\n')
         print(f"wrote {args.out}")
 
 

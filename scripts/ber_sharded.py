@@ -67,6 +67,7 @@ def main():
         os.path.abspath(__file__))), "bench", "ber_sharded.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
+        f.write('\n')
     print(f"wrote {out}")
 
 

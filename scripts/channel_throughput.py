@@ -81,7 +81,12 @@ def measure(channel_name, message_len, snr_db=5.5):
         return sum(decode_and_check(p, r) for p, r in ps)
 
     k_hi = 2 if channel_name == "FP32" else 4
-    n_inputs = k_hi + 2
+    # n_inputs must keep every TIMED index set distinct from the warmup
+    # sets {ws[0]} / ws[:k_hi] AND from every other timed set — the relay
+    # MEMOIZES identical dispatches, and one memoized (floor-time) sample
+    # collapses the min()-based slope (ADVICE r2).  With 6 inputs the
+    # rotations below never repeat a tuple for either k_hi value.
+    n_inputs = 6
     log(f"{channel_name}: dec_len={plan.dec_len}, building {n_inputs} "
         f"workloads")
     ws = [jax.block_until_ready(make_workload(jax.random.PRNGKey(7 + i)))
@@ -100,7 +105,17 @@ def measure(channel_name, message_len, snr_db=5.5):
         t0 = time.perf_counter()
         np.asarray(jh(*flat([ws[(j + 2 + i) % n] for i in range(k_hi)])))
         th.append(time.perf_counter() - t0)
-    kernel_s = max((min(th) - min(tl)) / (k_hi - 1), 1e-9)
+    slope = (min(th) - min(tl)) / (k_hi - 1)
+    # degenerate-slope guard (ADVICE r2): a non-positive or
+    # below-resolution slope means a memoized/floored sample, not a real
+    # measurement — fail loudly instead of recording absurd gbps
+    sane_floor = 2e-4 * message_len / 32e6
+    if slope <= 0 or slope < sane_floor:
+        raise RuntimeError(
+            f"{channel_name}: degenerate timing slope {slope:.3g}s "
+            f"(floor {sane_floor:.3g}s) — memoized dispatch or relay "
+            f"glitch; re-run")
+    kernel_s = slope
     tiles = -(-plan.num_blocks // LANE_TILE)
     stages = tiles * plan.n_packs * plan.bits_per_pack
     rec = {
@@ -133,6 +148,7 @@ def main():
             os.pardir, "bench", "channel_throughput.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
+            f.write("\n")
     print(json.dumps(out))
     return 0
 

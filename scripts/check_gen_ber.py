@@ -62,6 +62,7 @@ def main():
         os.path.abspath(__file__))), "bench", "ber_generator_compare.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
+        f.write('\n')
     log(f"wrote {out}")
     return 0 if ok else 1
 

@@ -57,6 +57,7 @@ def main():
         os.path.abspath(__file__))), "bench", "scaling_curve.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
+        f.write('\n')
     log(f"wrote {out}")
 
 
