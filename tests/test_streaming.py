@@ -1,9 +1,10 @@
 """Streaming decoder tests: chunked push/flush must reproduce the one-shot
 decode contract (output bit i = message bit i + extra_l) across chunk
-boundaries."""
+boundaries, for every channel format and on the Pallas kernel path."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpu_viterbi.chain.encode import conv_encode_np
 from tpu_viterbi.chain.quantize import quantize_and_pack
@@ -13,16 +14,20 @@ from tpu_viterbi.utils.bits import unpack_msb_first
 
 EXTRA_L = 26
 
+_SCALES = {ChannelIn.HARD: 40000.0, ChannelIn.SOFT4: 4.0,
+           ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0,
+           ChannelIn.FP32: 4.0}
 
-def _workload(n, sigma, seed=21):
+
+def _workload(n, sigma, seed=21, channel=ChannelIn.SOFT8):
     rng = np.random.default_rng(seed)
     bits = rng.integers(0, 2, n).astype(np.uint8)
     coded = conv_encode_np(bits).astype(np.float32)
     sym = 2 * coded - 1
     if sigma:
         sym = sym + rng.normal(0, sigma, sym.shape).astype(np.float32)
-    packed = np.asarray(quantize_and_pack(jnp.asarray(sym), ChannelIn.SOFT8,
-                                          32.0))
+    packed = np.asarray(quantize_and_pack(jnp.asarray(sym), channel,
+                                          _SCALES[channel]))
     return bits, packed
 
 
@@ -92,3 +97,51 @@ def test_streaming_incremental_lengths():
                              if len(o)])
     usable = n - EXTRA_L - 64
     assert np.array_equal(stream[:usable], bits[EXTRA_L: EXTRA_L + usable])
+
+
+@pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT4,
+                                     ChannelIn.SOFT8, ChannelIn.SOFT16,
+                                     ChannelIn.FP32])
+def test_streaming_oneshot_contract_all_channels(channel):
+    """push()+flush() must emit EXACTLY get_message_len(stream) bits, all
+    correct — i.e. the one-shot framing contract with no synthetic-padding
+    tail.  This is the regression lock for the old HARD flush bias
+    (zero-word padding = 32 explicit '0' bits, a non-neutral halo;
+    VERDICT r2 item 6): under HARD the biased halo flipped tail decisions,
+    which the exact full-length equality below would catch."""
+    n = 20_000
+    bits, packed = _workload(n, 0.0, seed=3, channel=channel)
+    cfg = DecoderConfig(channel_in=channel)
+    sv = StreamingViterbi(cfg, dec_len=512, backend="xla")
+    outs = []
+    for i in range(0, len(packed), 1024):
+        outs.append(sv.push(packed[i: i + 1024]))
+    outs.append(sv.flush())
+    stream = np.concatenate([unpack_msb_first(o, 32) for o in outs
+                             if len(o)])
+    m = cfg.get_message_len(2 * n)
+    assert len(stream) == m
+    assert np.array_equal(stream, bits[EXTRA_L: EXTRA_L + m]), channel
+
+
+@pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT8])
+def test_streaming_pallas_backend(channel):
+    """The streaming wrapper over the production Pallas kernel path
+    (interpret mode: same kernel program, hermetic on CPU) must match the
+    XLA-core streaming decode bit for bit."""
+    n = 6_000
+    bits, packed = _workload(n, 0.4, seed=11, channel=channel)
+    cfg = DecoderConfig(channel_in=channel)
+    outs_p, outs_x = [], []
+    sv_p = StreamingViterbi(cfg, dec_len=256, backend="pallas-interpret")
+    sv_x = StreamingViterbi(cfg, dec_len=256, backend="xla")
+    for i in range(0, len(packed), 1024):
+        outs_p.append(sv_p.push(packed[i: i + 1024]))
+        outs_x.append(sv_x.push(packed[i: i + 1024]))
+    outs_p.append(sv_p.flush())
+    outs_x.append(sv_x.flush())
+    got_p = np.concatenate([o for o in outs_p if len(o)])
+    got_x = np.concatenate([o for o in outs_x if len(o)])
+    assert np.array_equal(got_p, got_x)
+    m = cfg.get_message_len(2 * n)
+    assert len(got_p) * 32 == m

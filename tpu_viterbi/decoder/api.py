@@ -44,8 +44,11 @@ class ViterbiTPU:
                  dec_len: int = DEFAULT_DEC_LEN,
                  backend: str = "auto",
                  time_mode: str = "wall"):
-        """backend: 'auto' | 'pallas' | 'xla' — 'auto' uses the Pallas kernel
-        on TPU when the config/shape supports it, else the XLA scan core.
+        """backend: 'auto' | 'pallas' | 'xla' | 'pallas-interpret' — 'auto'
+        uses the Pallas kernel on TPU when the config/shape supports it,
+        else the XLA scan core; 'pallas-interpret' runs the Pallas kernel
+        in interpret mode on any backend (CI coverage of the production
+        kernel path without a TPU).
 
         time_mode: 'wall' times each ``run`` dispatch directly (right on
         backends where block_until_ready really blocks); 'slope' reports an
@@ -82,7 +85,8 @@ class ViterbiTPU:
         cfg = self.config
         message_len = cfg.get_message_len(input_num)
         plan = plan_blocks(message_len, cfg.bits_per_pack, self.dec_len)
-        use_pallas = self._use_pallas(plan)
+        interp = self.backend == "pallas-interpret"
+        use_pallas = interp or self._use_pallas(plan)
 
         @jax.jit
         def run(packed):
@@ -90,7 +94,8 @@ class ViterbiTPU:
             # lane-padded soft intermediates (core_xla.stage_layout_packed)
             if use_pallas:
                 from .core_pallas import decode_packed_pallas
-                return decode_packed_pallas(packed, cfg, plan)
+                return decode_packed_pallas(packed, cfg, plan,
+                                            interpret=interp)
             return decode_packed_xla(packed, cfg, plan)
 
         return run, plan

@@ -10,7 +10,10 @@ long stream can be decoded in fixed-size pieces with exactly the same
 per-block framing/quality as the one-shot decoder.
 
 Output alignment matches the one-shot contract: across all emitted chunks,
-output bit i is the estimate of stream message bit i + extra_l.
+output bit i is the estimate of stream message bit i + extra_l, and the
+total emitted length equals ``get_message_len`` of the whole stream — the
+final extra_r-and-rounding stages are consumed as right halo only, exactly
+as the reference's framing discards them (viterbi.cu:86-88).
 """
 
 from __future__ import annotations
@@ -69,24 +72,28 @@ class StreamingViterbi:
         return out
 
     def flush(self) -> np.ndarray:
-        """Decode whatever remains by zero-padding the right halo (the tail
-        extra_r stages decode against neutral metrics, like the reference's
-        final partial slide, viterbi.cu:199-206)."""
+        """Decode whatever remains of the carried tail under the one-shot
+        contract: only bits whose extra_r right halo is real input are
+        emitted (``get_message_len`` of the carry), with NO synthetic
+        padding — so across push()+flush() the streaming output covers
+        exactly the bits a one-shot decode of the concatenated stream
+        would (getMessageLen, reference viterbi.cu:86-88).
+
+        The previous behavior padded the right halo with zero words to
+        squeeze out ~extra_r more bits; under HARD a zero word is 32
+        explicit '0' bits (strong -1 symbols), a biased halo that can
+        corrupt the tail decisions (VERDICT r2 item 6).  Soft formats
+        treated 0 as an erasure, but the reference itself never emits
+        those halo-less bits either — its message length stops extra_r
+        short of the input (viterbi.cu:86-88), exactly what this does."""
         cfg = self.config
+        out_dtype = np.uint16 if cfg.bits_per_pack == 16 else np.uint32
         if self._carry is None or self._carry.shape[0] == 0:
-            return np.zeros(0, dtype=np.uint16 if cfg.bits_per_pack == 16
-                            else np.uint32)
-        vpw = self._values_per_word
-        bpp = cfg.bits_per_pack
-        have_stages = self._carry.shape[0] * vpw // 2
-        target_m = -(-have_stages // bpp) * bpp
-        need_stages = target_m + 64 + bpp      # halo + rounding margin
-        total_words = -(-2 * need_stages // vpw)
-        padded = np.concatenate(
-            [self._carry,
-             np.zeros(total_words - self._carry.shape[0],
-                      self._carry.dtype)])
-        input_num = total_words * vpw
-        out, _ = self._dec.run(padded, input_num, want_time=False)
-        self._carry = None
-        return out[: target_m // bpp]
+            return np.zeros(0, dtype=out_dtype)
+        carry, self._carry = self._carry, None
+        input_num = carry.shape[0] * self._values_per_word
+        if cfg.get_message_len(input_num) <= 0:
+            # tail too short to decode anything under the halo contract
+            return np.zeros(0, dtype=out_dtype)
+        out, _ = self._dec.run(carry, input_num, want_time=False)
+        return out
