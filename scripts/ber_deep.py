@@ -1,0 +1,78 @@
+"""Deep BER-parity artifact at the waterfall knee (VERDICT r2 item 6).
+
+The 2M-bit curves (bench/ber_curve_*.json) resolve nothing below ~1e-5;
+the north-star metric is BER parity at each SNR x precision down to the
+knee.  This runs the fused in-graph chain (generate + decode + count as
+one jitted program) at >= 128M bits per point — 4 x 32M-bit calls with
+distinct keys, BEN summed on device-scalar results — for h/b32, s4/b32,
+s8/b32 at 4 knee SNRs each (project convention sigma = 10^(-SNR/5), so
+the knee sits at 0.9-2.0 "dB").  At BER 1e-6 that is ~128 error events:
+~9% counting error, enough to anchor the curve's slope through the knee.
+
+Writes bench/ber_deep.json.
+
+Usage: timeout 3600 python scripts/ber_deep.py [bits_per_point]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 32_000_000
+T0 = time.time()
+
+
+def log(s):
+    print(f"+{time.time()-T0:6.1f}s {s}", flush=True)
+
+
+# knee brackets chosen from the 2M-bit curves (bench/ber_curve_tpu.json):
+# the last resolvable points there are h: 1.5 -> 4e-5, s4: 1.0 -> 1.5e-5,
+# s8: 1.0 -> 1e-5
+CASES = {
+    "h/b32": ("HARD", (1.25, 1.5, 1.75, 2.0)),
+    "s4/b32": ("SOFT4", (0.875, 1.0, 1.125, 1.25)),
+    "s8/b32": ("SOFT8", (0.875, 1.0, 1.125, 1.25)),
+}
+
+
+def main():
+    import jax
+
+    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    from tpu_viterbi.sharding.simulate import build_sharded_simulation
+
+    bits_per_point = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000_000
+    calls = -(-bits_per_point // N)
+    mesh = make_block_mesh(jax.devices()[:1])
+    log(f"device: {jax.devices()[0]}; {calls} x {N} bits per point")
+    rows = []
+    for name, (ch, snrs) in CASES.items():
+        cfg = DecoderConfig(channel_in=ChannelIn[ch])
+        for snr in snrs:
+            fn, m = build_sharded_simulation(cfg, N, mesh, snr_db=snr,
+                                             dec_len=8192)
+            ben = 0
+            for c in range(calls):
+                ben += int(jax.block_until_ready(
+                    fn(jax.random.PRNGKey(9000 + 97 * c))))
+            bits = m * calls
+            rows.append({"config": name, "snr_db": snr, "ben": ben,
+                         "bits": bits, "ber": ben / bits})
+            log(f"{name:7s} snr={snr:5.3f}: BEN {ben:8d} / {bits} "
+                f"-> BER {ben/bits:.3e}")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench", "ber_deep.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+        f.write("\n")
+    log(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,14 +34,21 @@ def test_footprint_matches_known_hardware_points():
     assert bad > VMEM_BUDGET_BYTES
     # footprint scales with the survivor store
     assert bad > 3 * good
-    f32 = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
-                               plan, lane_tile=128)
-    assert 23_000_000 < f32 < 26_000_000      # matches XLA's 24.44M report
-    assert f32 > VMEM_BUDGET_BYTES
-    # FP32 rides the Pallas kernel at dec_len 4096 (~13M)
+    # legacy FP32 two-stream VALUE staging (fp32_words=False): the measured
+    # 24.44M XLA rejection at dec_len 8192
+    f32v = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
+                                plan, lane_tile=128, value_mode=True)
+    assert 23_000_000 < f32v < 26_000_000     # matches XLA's 24.44M report
+    assert f32v > VMEM_BUDGET_BYTES
+    # r3 default: FP32 rides u/d WORD mode (SOFT8-shaped words), which
+    # fits dec_len 8192 like SOFT8 does
+    f32w = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
+                                plan, lane_tile=128)
+    assert f32w <= VMEM_BUDGET_BYTES
+    # FP32 value mode rides the Pallas kernel at dec_len 4096 (~13M)
     plan4 = plan_blocks(32_000_000, 32, 4096)
     f32_4k = vmem_footprint_bytes(DecoderConfig(channel_in=ChannelIn.FP32),
-                                  plan4, lane_tile=128)
+                                  plan4, lane_tile=128, value_mode=True)
     assert f32_4k <= VMEM_BUDGET_BYTES
 
 

@@ -106,3 +106,29 @@ def test_packed_pallas_unfused_interpret_matches_golden(rng, channel):
     bits = unpack_msb_first(out, bpp)
     r = _golden_soft(words, cfg, n_vals)
     _check_against_golden(bits, r, plan, f"{channel.name}/unfused")
+
+
+def test_fp32_ud_matches_value(rng):
+    """FP32 u/d word mode (pre-trunc'd integer staging,
+    core_xla.fp32_ud_words) must be BIT-identical to the two-stream float
+    value kernel and to the XLA core on fractional inputs — the
+    trunc-before-sign equivalence (trunc is odd: trunc(-x) = -trunc(x))
+    that lets FP32 ride the SOFT8-cost word mode."""
+    from tpu_viterbi.decoder.core_xla import decode_packed_xla
+
+    cfg = DecoderConfig(channel_in=ChannelIn.FP32)
+    bpp = cfg.bits_per_pack
+    dec_len = 3 * bpp
+    message_len = 7 * bpp
+    plan = plan_blocks(message_len, bpp, dec_len)
+    n_vals = 2 * (message_len + 64)
+    # fractional, beyond-clamp values: exercises clamp AND trunc placement
+    vals = (rng.standard_normal(n_vals) * 6.0).astype(np.float32)
+
+    ud = np.asarray(decode_packed_pallas(jnp.asarray(vals), cfg, plan,
+                                         interpret=True, fp32_words=True))
+    val = np.asarray(decode_packed_pallas(jnp.asarray(vals), cfg, plan,
+                                          interpret=True, fp32_words=False))
+    xla = np.asarray(decode_packed_xla(jnp.asarray(vals), cfg, plan))
+    assert np.array_equal(ud, val)
+    assert np.array_equal(ud, xla)

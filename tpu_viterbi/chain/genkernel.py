@@ -154,8 +154,8 @@ def _iota2(rows):
             jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
 
 
-def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
-                width, lo, hi, scale, sigma, hard):
+def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
+                rows, width, lo, hi, scale, sigma, hard):
     """One tile.  Lane ownership is strided so both outputs are emitted in
     flat stream order with zero relayout:
 
@@ -194,13 +194,46 @@ def _gen_kernel(key_ref, bits_ref, words_ref, *, n_bits, vpw, wpl, rows,
     bits_ref[...] = own & tail_mask
 
     # ---- per-word encoder window: bits [w*spw - 6, w*spw + 26) ----
-    off = w * spw - (CONST_LEN - 1)
-    pk = off >> 5
-    sh = off & 31
-    p1 = _bit_pack(k0, k1, pk)
-    p2 = _bit_pack(k0, k1, pk + 1)
-    u = (p1 << sh) | jnp.where(
-        sh == 0, 0, jax.lax.shift_right_logical(p2, 32 - sh))
+    if spw == 2 and rows == 128:
+        # Dedup'd window packs (the r2 "genkernel residual", VERDICT r3
+        # item 2): the naive path below recomputes 2 full threefry calls
+        # per WORD, but a program's 16384 words share only rows*NJ + 2
+        # distinct bit packs.  Compute those once at (NJ+2, rows) shape
+        # (2 vregs instead of 16 per vector op), with the column-major
+        # index mapping pack(a, b) = p0w - 1 + a + NJ*b chosen so ONE
+        # VMEM transpose lands them word-row-major; then each lane
+        # selects its covering pack from its row's NJ+1 window columns
+        # (lane-broadcast + segmented select).  Bit-exact vs the naive
+        # path (same draws, same funnel) — locked by the sigma=0
+        # equality gates in tests/test_genkernel.py.
+        NJ = 4 * spw                    # window packs per word-row
+        p0w = (w0 * spw) >> 5           # first pack of the program span
+        a = jax.lax.broadcasted_iota(jnp.int32, (NJ + 2, rows), 0)
+        b = jax.lax.broadcasted_iota(jnp.int32, (NJ + 2, rows), 1)
+        win_ref[...] = _bit_pack(k0, k1, p0w - 1 + a + NJ * b).T
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        t = spw * lane + 32 - (CONST_LEN - 1)
+        jsel = t >> 5                   # covering-pack column, 0..NJ
+        sh = t & 31
+        pcov = jnp.zeros_like(w)
+        pnext = jnp.zeros_like(w)
+        for j in range(NJ + 1):
+            m = jsel == j
+            pcov = pcov | jnp.where(
+                m, jnp.broadcast_to(win_ref[:, j:j + 1], (rows, 128)), 0)
+            pnext = pnext | jnp.where(
+                m, jnp.broadcast_to(win_ref[:, j + 1:j + 2], (rows, 128)),
+                0)
+        u = (pcov << sh) | jnp.where(
+            sh == 0, 0, jax.lax.shift_right_logical(pnext, 32 - sh))
+    else:
+        off = w * spw - (CONST_LEN - 1)
+        pk = off >> 5
+        sh = off & 31
+        p1 = _bit_pack(k0, k1, pk)
+        p2 = _bit_pack(k0, k1, pk + 1)
+        u = (p1 << sh) | jnp.where(
+            sh == 0, 0, jax.lax.shift_right_logical(p2, 32 - sh))
 
     # parity windows: bit q of o_k (from MSB) = stage (off + q) output =
     # XOR over tap delays d of window bit q - d; valid for q >= 6
@@ -400,6 +433,7 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
         _gen_kernel, n_bits=n, vpw=vpw, wpl=wpl, rows=rows, width=width,
         lo=lo, hi=hi, scale=float(scale), sigma=float(sigma), hard=hard)
     kd_base = jnp.concatenate([kd, base.reshape(1)])
+    spw = vpw // 2
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -411,6 +445,7 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
         out_shape=[jax.ShapeDtypeStruct((grid * rows // wpl, 128),
                                         jnp.int32),
                    jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, 4 * spw + 2), jnp.int32)],
         interpret=interpret,
     )(kd_base)
 

@@ -84,7 +84,8 @@ _TAP_MASK1 = 0o155 & 63
 def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
                          lane_tile: int = LANE_TILE,
                          fused: bool = True,
-                         value_mode: bool = False) -> int:
+                         value_mode: bool = False,
+                         window: bool = False) -> int:
     """Static VMEM bytes one kernel program needs under this plan: the
     survivor scratch, the (double-buffered) input/output grid blocks, and
     in fused word mode the word-major scratch.  Used to reject plans that
@@ -94,12 +95,15 @@ def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
     n_emit = plan.dec_len // bpp
-    surv = n_packs * NUM_STATES * lane_tile * 4
+    surv_slots = survivor_window_slots(cfg) if window else n_packs
+    surv = surv_slots * NUM_STATES * lane_tile * 4
     out = 2 * n_emit * lane_tile * 4          # double-buffered grid output
-    if value_mode or cfg.channel_in == ChannelIn.FP32:
+    if value_mode:
+        # legacy FP32 two-stream value staging (fp32_words=False)
         rs = 2 * n_packs * bpp * 2 * lane_tile * 4
         return surv + out + rs
-    dpp = cfg.enc_data_per_pack
+    # FP32 default rides u/d word mode: 4 8-bit fields per word, like SOFT8
+    dpp = 4 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     words_per_block = (2 * plan.dec_len + 2 * WARMUP) // dpp
     words = n_packs * (words_per_block // n_packs) * lane_tile * 4
     if fused:                                 # word scratch + packed inputs
@@ -108,7 +112,8 @@ def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
 
 
 def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
-                     lane_tile: int = LANE_TILE) -> bool:
+                     lane_tile: int = LANE_TILE,
+                     window: bool = False) -> bool:
     """True when the fused kernel both runs on this backend and fits the
     plan in VMEM (vmem_footprint_bytes vs VMEM_BUDGET_BYTES) — callers on
     backend='auto' fall back to the XLA scan core otherwise.
@@ -124,15 +129,17 @@ def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
     representation for every mode."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return vmem_footprint_bytes(cfg, plan, lane_tile) <= VMEM_BUDGET_BYTES
+    return vmem_footprint_bytes(cfg, plan, lane_tile, window=window) \
+        <= VMEM_BUDGET_BYTES
 
 
 def _check_vmem(cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
                 interpret: bool, fused: bool = True,
-                value_mode: bool = False) -> None:
+                value_mode: bool = False, window: bool = False) -> None:
     if interpret:
         return
-    need = vmem_footprint_bytes(cfg, plan, lane_tile, fused, value_mode)
+    need = vmem_footprint_bytes(cfg, plan, lane_tile, fused, value_mode,
+                                window)
     if need > VMEM_BUDGET_BYTES:
         raise ValueError(
             f"plan does not fit VMEM: dec_len={plan.dec_len} x "
@@ -242,13 +249,42 @@ def _write_cat(e, o, write):
     return jnp.concatenate([srcs[s][a:a + n] for s, a, n in write], axis=0)
 
 
+def survivor_window_slots(cfg: DecoderConfig) -> int:
+    """Circular survivor slots for the windowed kernel: the per-slide
+    traceback reads slots p .. p-n_conv while slot p+1-W is being freed
+    for the next dump, so W = n_conv + 2 (the TPU sizing of the
+    reference's forwardLen/bpp-deep one-pointer buffer, viterbi.cu:99-100;
+    3 slots at bpp=32, exactly the reference's 96/32)."""
+    bpp = cfg.bits_per_pack
+    return -(-(cfg.extra_r - bpp) // bpp) + 2
+
+
 def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
-                 n_emit, is_float, renorm=False):
+                 n_emit, is_float, renorm=False, window=False):
     """Shared fused decode body: rotating-layout ACS + survivor dump +
     in-kernel traceback.  make_ud(p) -> ud(s) -> ((1, LT) u, (1, LT) d)
     per-stage sum/difference soft pairs for pack p — the input-format
     adapters (_viterbi_kernel value/word modes, _viterbi_kernel_f32_2s)
-    differ only in how they produce u/d."""
+    differ only in how they produce u/d.
+
+    window=False: surv_ref holds every pack (n_packs slots); one
+    continuous state chase from the final pack emits all output packs
+    after the loop.
+
+    window=True: the reference's one-pointer circular survivor buffer
+    (viterbi.cu:99-100,154; write index stage % forwardLen,
+    viterbiACS.cuh:460; consumed by viterbiTB.cuh:4-21) — surv_ref has
+    only n_conv + 2 slots, written at p % W, and every pack interleaves a
+    FRESH traceback into the ACS loop: state 0, chase n_conv discard
+    packs, emit one pack (the reference's per-slide traceback with
+    extraR-bpp discard stages rounded up to whole packs).  Survivor VMEM
+    drops from O(dec_len) to O(extra_r) per block — the >1000x traceback
+    memory claim of README.md:18 — decoupling dec_len/lane_tile from the
+    VMEM budget.  The fresh chase can in principle emit different bits
+    than the continuous chase when paths have not merged within
+    n_conv*bpp stages (the reference accepts the same truncation at depth
+    extraR); tests lock bit-equality on coded inputs and statistical
+    equality on noise (tests/test_survivor_window.py)."""
     lt = out_ref.shape[1]
     assert bpp % GROUP_LEN == 0
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
@@ -267,6 +303,20 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         s0 = (2 * _parity(w & _TAP_MASK0) - 1).astype(dtype)
         s1 = (2 * _parity(w & _TAP_MASK1) - 1).astype(dtype)
         consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
+
+    states = jax.lax.broadcasted_iota(jnp.int32, (NUM_STATES, 1), 0)
+    emit_lo = n_packs - n_conv - n_emit         # lowest pack index emitted
+    W = n_conv + 2
+
+    def _chase(slot_pack, state):
+        """One-hot register-exchange step: gather the survivor pack of
+        `state` (1, LT) from a (64, LT) slot; next state = its last 6
+        decision bits (cf. __brev state extraction, viterbiTB.cuh:10-18,
+        already bit-reversed here by the dump convention)."""
+        onehot = states == state
+        pack = jnp.sum(jnp.where(onehot, slot_pack, 0), axis=0,
+                       keepdims=True)           # (1, LT)
+        return pack, jax.lax.shift_right_logical(pack, bpp - 6) & 63
 
     def pack_body(p, carry):
         pm, pp = carry
@@ -316,7 +366,20 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         for s in range(bpp):                    # static unroll
             pm, pp = run_stage(s, pm, pp)
 
-        surv_ref[p] = pp & pack_mask            # survivor-pack dump
+        if window:
+            surv_ref[jax.lax.rem(p, W)] = pp & pack_mask
+            # per-slide fresh traceback (reference viterbiTB.cuh:4-21)
+            @pl.when(p - n_conv >= emit_lo)
+            def _():
+                state = jnp.zeros((1, lt), jnp.int32)
+                for t in range(n_conv):         # discard packs
+                    _, state = _chase(surv_ref[jax.lax.rem(p - t, W)],
+                                      state)
+                pack, _ = _chase(surv_ref[jax.lax.rem(p - n_conv, W)],
+                                 state)
+                out_ref[pl.ds(p - n_conv - emit_lo, 1), :] = pack
+        else:
+            surv_ref[p] = pp & pack_mask        # survivor-pack dump
         if renorm:
             # per-pack min-subtract renormalization (decision-invariant;
             # cf. viterbiACS.cuh:307-378): bounds PMs by the trellis mixing
@@ -331,17 +394,13 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
     zeros = jnp.zeros((NUM_STATES, lt), jnp.int32)
     jax.lax.fori_loop(0, n_packs, pack_body, (zeros, zeros))
+    if window:
+        return
 
     # ---- traceback (pack-granular register-exchange state chase) ----
-    states = jax.lax.broadcasted_iota(jnp.int32, (NUM_STATES, 1), 0)
-    emit_lo = n_packs - n_conv - n_emit         # lowest pack index touched
-
     def tb_body(k, state):                      # state: (1, LT)
         kp = n_packs - 1 - k
-        onehot = states == state
-        pack = jnp.sum(jnp.where(onehot, surv_ref[kp], 0), axis=0,
-                       keepdims=True)           # (1, LT)
-        new_state = jax.lax.shift_right_logical(pack, bpp - 6) & 63
+        pack, new_state = _chase(surv_ref[kp], state)
 
         @pl.when(k >= n_conv)
         def _():
@@ -354,7 +413,8 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
 
 def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
-                    n_emit, is_float, vpw=None, width=None, renorm=False):
+                    n_emit, is_float, vpw=None, width=None, renorm=False,
+                    ud_mode=False, window=False):
     """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
     staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
     channel words unpacked in-kernel (word mode, vpw = values per word).
@@ -363,7 +423,11 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     +-(r0+r1), +-(r0-r1) exist per stage (cf. the reference's 4-entry
     branchMetric ring, viterbiBM.cuh:178-185) — each adapter computes the
     whole pack's u/d up front; per-stage (2, LT) VMEM loads measured
-    ~12 ns/stage extra."""
+    ~12 ns/stage extra.
+
+    ud_mode: the word fields are already the u/d pair (pre-trunc'd
+    integers, core_xla.fp32_ud_words) rather than the (r0, r1) values —
+    skip the add/sub.  This is how FP32 rides word mode."""
     if vpw is None:
         def make_ud(p):                         # value mode: (bpp, 2, LT)
             rp = rs_ref[p]
@@ -387,8 +451,12 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
                 else:                           # two's-complement field
                     a0 = (wv << (2 * j * width)) >> (32 - width)
                     a1 = (wv << ((2 * j + 1) * width)) >> (32 - width)
-                u_js.append(a0 + a1)            # (wpp, LT)
-                d_js.append(a0 - a1)
+                if ud_mode:                     # fields ARE (u, d)
+                    u_js.append(a0)
+                    d_js.append(a1)
+                else:
+                    u_js.append(a0 + a1)        # (wpp, LT)
+                    d_js.append(a0 - a1)
 
             def ud(s):
                 j, k = s % ppw, s // ppw
@@ -397,11 +465,11 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
     _decode_core(make_ud, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
                  n_conv=n_conv, n_emit=n_emit, is_float=is_float,
-                 renorm=renorm)
+                 renorm=renorm, window=window)
 
 
 def _viterbi_kernel_f32_2s(rs0_ref, rs1_ref, out_ref, surv_ref, *, n_packs,
-                           bpp, n_conv, n_emit, renorm=False):
+                           bpp, n_conv, n_emit, renorm=False, window=False):
     """FP32 two-stream value mode: the channel's two parity-value streams
     arrive as separate (n_packs, bpp, LT) float tensors (flat staging,
     core_xla.stage_floats_2streams) instead of one (n_packs, bpp, 2, LT)
@@ -417,12 +485,13 @@ def _viterbi_kernel_f32_2s(rs0_ref, rs1_ref, out_ref, surv_ref, *, n_packs,
         return lambda s: (u_all[s:s + 1], d_all[s:s + 1])
 
     _decode_core(make_ud, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
-                 n_conv=n_conv, n_emit=n_emit, is_float=True, renorm=renorm)
+                 n_conv=n_conv, n_emit=n_emit, is_float=True, renorm=renorm,
+                 window=window)
 
 
 def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
                           *, n_packs, bpp, n_conv, n_emit, vpw, width,
-                          renorm=False):
+                          renorm=False, ud_mode=False, window=False):
     """Word-mode kernel with the staging transpose fused in: body_ref
     (LT, wpb) and halo_ref (LT, wph) arrive block-major straight from the
     packed channel stream (a free reshape view in HBM), are transposed once
@@ -437,18 +506,21 @@ def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
     words_ref[nb:] = halo_ref[...].T.reshape(n_packs - nb, wpp, lt)
     _viterbi_kernel(words_ref, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
                     n_conv=n_conv, n_emit=n_emit, is_float=False, vpw=vpw,
-                    width=width, renorm=renorm)
+                    width=width, renorm=renorm, ud_mode=ud_mode,
+                    window=window)
 
 
 def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
-                       plan: BlockPlan, b_pad: int):
+                       plan: BlockPlan, b_pad: int, dpp: int = 0):
     """Packed channel words -> (body (b_pad, wpb), halo (b_pad, wph))
     block-major word layouts for the fused kernel.  The body is a pure
     reshape of the stream; the halo (block k's first wph words of block
     k+1's span) uses the general overlapped-window construction so
     dec_len < 64 (halo spanning several bodies) stays correct; the
-    left-shifted last block (plan.offsets) is patched row-granular."""
-    dpp = cfg.enc_data_per_pack
+    left-shifted last block (plan.offsets) is patched row-granular.
+    dpp overrides the channel's values-per-word (FP32 u/d word mode
+    repacks to 4 fields/word)."""
+    dpp = dpp or cfg.enc_data_per_pack
     dl, B = plan.dec_len, plan.num_blocks
     wpb = 2 * dl // dpp
     wph = 2 * WARMUP // dpp
@@ -470,8 +542,11 @@ def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
 
 def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
                       cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Block-major packed words -> packed output words, staging fused."""
+                      interpret: bool = False, vpw: int = 0, width: int = 0,
+                      ud_mode: bool = False,
+                      window: bool = False) -> jnp.ndarray:
+    """Block-major packed words -> packed output words, staging fused.
+    vpw/width override the channel's word format (FP32 u/d word mode)."""
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
     n_conv = -(-(cfg.extra_r - bpp) // bpp)
@@ -482,8 +557,11 @@ def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
 
     kernel = functools.partial(
         _viterbi_kernel_fused, n_packs=n_packs, bpp=bpp, n_conv=n_conv,
-        n_emit=n_emit, vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width,
-        renorm=needs_int32_renorm(cfg, plan))
+        n_emit=n_emit, vpw=vpw or cfg.enc_data_per_pack,
+        width=width or cfg.enc_data_width,
+        renorm=needs_int32_renorm(cfg, plan), ud_mode=ud_mode,
+        window=window)
+    surv_slots = survivor_window_slots(cfg) if window else n_packs
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
@@ -494,7 +572,7 @@ def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
         out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
+        scratch_shapes=[pltpu.VMEM((surv_slots, NUM_STATES, lane_tile),
                                    jnp.int32),
                         pltpu.VMEM((n_packs, wpp, lane_tile), jnp.int32)],
         interpret=interpret,
@@ -538,7 +616,8 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
 
 
 def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
-                lane_tile: int, interpret: bool = False) -> jnp.ndarray:
+                lane_tile: int, interpret: bool = False,
+                window: bool = False) -> jnp.ndarray:
     """Staged input -> packed output words.  rs is (n_packs, bpp, 2, b_pad)
     soft values (value mode) or (n_packs, wpp, b_pad) packed channel words
     (word mode, unpacked in-kernel)."""
@@ -565,7 +644,9 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
     kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
                                n_conv=n_conv, n_emit=n_emit,
                                is_float=is_float,
-                               renorm=needs_int32_renorm(cfg, plan), **kw)
+                               renorm=needs_int32_renorm(cfg, plan),
+                               window=window, **kw)
+    surv_slots = survivor_window_slots(cfg) if window else n_packs
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
@@ -573,7 +654,7 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
         out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
+        scratch_shapes=[pltpu.VMEM((surv_slots, NUM_STATES, lane_tile),
                                    jnp.int32)],
         interpret=interpret,
     )(rs)
@@ -584,7 +665,8 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
 
 def _run_kernel_f32_2s(rs0: jnp.ndarray, rs1: jnp.ndarray,
                        cfg: DecoderConfig, plan: BlockPlan,
-                       lane_tile: int, interpret: bool = False):
+                       lane_tile: int, interpret: bool = False,
+                       window: bool = False):
     """Two flat-staged FP32 streams -> packed output words."""
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
@@ -594,7 +676,9 @@ def _run_kernel_f32_2s(rs0: jnp.ndarray, rs1: jnp.ndarray,
 
     kernel = functools.partial(_viterbi_kernel_f32_2s, n_packs=n_packs,
                                bpp=bpp, n_conv=n_conv, n_emit=n_emit,
-                               renorm=needs_int32_renorm(cfg, plan))
+                               renorm=needs_int32_renorm(cfg, plan),
+                               window=window)
+    surv_slots = survivor_window_slots(cfg) if window else n_packs
     in_spec = pl.BlockSpec((n_packs, bpp, lane_tile), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -604,7 +688,7 @@ def _run_kernel_f32_2s(rs0: jnp.ndarray, rs1: jnp.ndarray,
         out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lane_tile),
+        scratch_shapes=[pltpu.VMEM((surv_slots, NUM_STATES, lane_tile),
                                    jnp.int32)],
         interpret=interpret,
     )(rs0, rs1)
@@ -700,12 +784,15 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile",
-                                              "fused", "interpret"))
+                                              "fused", "interpret",
+                                              "fp32_words", "window"))
 def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                          plan: BlockPlan,
                          lane_tile: int = LANE_TILE,
                          fused: bool = True,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         fp32_words: bool = True,
+                         window: bool = False) -> jnp.ndarray:
     """Full decode straight from packed channel words (the ViterbiCUDA::run
     input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
     the production large-message entry point.
@@ -715,21 +802,36 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     as a free reshape view and the word transpose happens once in VMEM
     (_viterbi_kernel_fused) — zero staging HBM round trips.  fused=False
     keeps the separate staging-transpose pass (stage_words_pallas) for A/B
-    measurement.  FP32 goes through the sign-extended value staging."""
-    _check_vmem(cfg, plan, lane_tile, interpret, fused=fused)
+    measurement.
+
+    FP32 (fp32_words=True, the default) pre-trunc's the per-stage
+    (u, d) = trunc(r0 +- r1) pair at staging into SOFT8-format words
+    (core_xla.fp32_ud_words — bit-identical metrics, trunc is odd) and
+    rides the same fused word-mode kernel; fp32_words=False keeps the
+    two-stream float value staging for A/B."""
     is_float = cfg.channel_in == ChannelIn.FP32
+    _check_vmem(cfg, plan, lane_tile, interpret, fused=fused,
+                value_mode=is_float and not fp32_words, window=window)
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
     if is_float:
+        if fp32_words:
+            from .core_xla import fp32_ud_words
+            udw = fp32_ud_words(packed.astype(jnp.float32))
+            body, halo = _block_major_words(udw, cfg, plan, b_pad, dpp=4)
+            return _run_kernel_fused(body, halo, cfg, plan, lane_tile,
+                                     interpret, vpw=4, width=8,
+                                     ud_mode=True, window=window)
         from .core_xla import stage_floats_2streams
         rs0, rs1 = stage_floats_2streams(packed.astype(jnp.float32), cfg,
                                          plan, b_pad)
-        return _run_kernel_f32_2s(rs0, rs1, cfg, plan, lane_tile, interpret)
+        return _run_kernel_f32_2s(rs0, rs1, cfg, plan, lane_tile, interpret,
+                                  window=window)
     if fused:
         body, halo = _block_major_words(packed.astype(jnp.int32), cfg,
                                         plan, b_pad)
         return _run_kernel_fused(body, halo, cfg, plan, lane_tile,
-                                 interpret)
+                                 interpret, window=window)
     wt = stage_words_pallas(packed.astype(jnp.int32), cfg, plan, b_pad,
                             lane_tile, interpret)
     rs = wt.reshape(plan.n_packs, -1, b_pad)
-    return _run_kernel(rs, cfg, plan, lane_tile, interpret)
+    return _run_kernel(rs, cfg, plan, lane_tile, interpret, window=window)

@@ -224,6 +224,49 @@ def stage_layout_packed(packed: jnp.ndarray, cfg: DecoderConfig,
     return vals.reshape(plan.n_packs, plan.bits_per_pack, 2, b_pad)
 
 
+def fp32_ud_words(vals: jnp.ndarray) -> jnp.ndarray:
+    """FP32 interleaved channel values -> packed u/d integer words: the
+    FP32 channel's 'word mode' wire.  Per stage the pair
+    (u, d) = (trunc(r0 + r1), trunc(r0 - r1)) after the FPprecision clamp
+    (reference clamp+trunc semantics: viterbiBM.cuh:139-151) is packed
+    exactly like a SOFT8 stream — 4 signed 8-bit fields per int32 word,
+    MSB = earliest, [u, d] interleaved per stage — so the fused word-mode
+    Pallas kernel can ride it with the per-stage float VMEM loads (the
+    measured ~2.2x FP32 slowdown of the two-stream value kernel,
+    BASELINE.md) replaced by SOFT8-cost in-kernel unpack.
+
+    Exactness: the kernel's branch metric is +-trunc(r0 +- r1); trunc is
+    odd (trunc(-x) = -trunc(x)), so hoisting the trunc into staging leaves
+    every branch metric bit-identical to the two-stream float kernel
+    (locked by tests/test_word_mode_golden.py::test_fp32_ud_matches_value).
+    u, d are in [-15, 14] after the clamp to [-8, 7], so 8-bit fields are
+    exact.
+
+    Layout safety: the r0/r1 deinterleave is two one-hot MXU matmuls (each
+    output an exact copy of one input; no (n, 2) minor-dim-2 intermediate
+    — the chain/workload.py tiling rule) and the interleaved u/d packing
+    is the strided banded-matrix matmul (chain.quantize.pack_words_2streams)."""
+    from ..chain.quantize import _interleave_matrices, pack_words_2streams
+    from ..config import FP_PRECISION
+    lo = float(-(1 << (FP_PRECISION - 1)))
+    hi = float((1 << (FP_PRECISION - 1)) - 1)
+    v = jnp.clip(vals.astype(jnp.float32), lo, hi)
+    pad = (-v.shape[0]) % 256
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
+    s0, s1 = _interleave_matrices()             # (64, 128) one-hot
+    rows = v.reshape(-1, 128)
+    r0 = jnp.dot(rows, jnp.asarray(s0.T), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST).reshape(-1)
+    r1 = jnp.dot(rows, jnp.asarray(s1.T), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST).reshape(-1)
+    qu = jnp.trunc(r0 + r1).astype(jnp.int32).astype(jnp.uint32) \
+        & jnp.uint32(0xFF)
+    qd = jnp.trunc(r0 - r1).astype(jnp.int32).astype(jnp.uint32) \
+        & jnp.uint32(0xFF)
+    return pack_words_2streams(qu, qd, 8).astype(jnp.int32)
+
+
 def stage_floats_2streams(packed: jnp.ndarray, cfg: DecoderConfig,
                           plan: BlockPlan, b_pad: int):
     """FP32 interleaved value stream -> two (n_packs, bpp, b_pad) flat
