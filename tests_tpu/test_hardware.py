@@ -94,3 +94,12 @@ def test_ingraph_simulation_on_chip():
                               dec_len=2048)
     assert m == cfg.get_message_len(1_000_000)
     assert ben == 0
+
+
+@requires_tpu
+def test_pack_precision_and_fp32_ud_exact():
+    """r3 staging exactness: DEFAULT-precision pack matmuls for <=8-bit
+    fields, HIGH-precision one-hot FP32 deinterleave, FP32 u/d word-mode
+    decode vs the XLA float core, and windowed-vs-full survivor kernels
+    — all bit-exact on chip (scripts/check_pack_exact.py)."""
+    _run("check_pack_exact.py")

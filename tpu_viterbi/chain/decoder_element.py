@@ -13,10 +13,10 @@ from .pipeline import ComputeElement
 class ViterbiDecoder(ComputeElement):
     def __init__(self, config: DecoderConfig = DecoderConfig(),
                  dec_len: int = DEFAULT_DEC_LEN, backend: str = "auto",
-                 time_mode: str = "wall"):
+                 time_mode: str = "wall", survivor: str = "auto"):
         super().__init__()
         self.viterbi = ViterbiTPU(config, dec_len=dec_len, backend=backend,
-                                  time_mode=time_mode)
+                                  time_mode=time_mode, survivor=survivor)
         self.config = config
 
     def process(self, packed):

@@ -74,6 +74,20 @@ def _pack_matrices(width: int):
     return whi, wlo
 
 
+def _pack_precision(width: int):
+    """MXU precision for the banded pack matmuls.  Fields of width w are
+    integers < 2^w and the per-half weighted sums stay < 2^16; with
+    w <= 8 every operand and every product f * 2^k is exactly
+    representable in bf16 (8-bit significand), and the MXU accumulates
+    products in f32 — so DEFAULT precision (single bf16 pass) is exact
+    and ~6x cheaper than the f32-emulation HIGHEST path.  16-bit fields
+    (SOFT16) genuinely need HIGHEST (e.g. 0xD9C2 truncates to 0xDA00 in
+    bf16).  Exactness is locked by tests/test_chain.py pack round-trips
+    (CPU) and the on-chip battery (tests_tpu)."""
+    return (jax.lax.Precision.HIGHEST if width >= 16
+            else jax.lax.Precision.DEFAULT)
+
+
 def pack_words(q: jnp.ndarray, width: int) -> jnp.ndarray:
     """(n,) uint field values (already masked to `width` bits) -> packed
     uint32 words, MSB = earliest.
@@ -96,14 +110,11 @@ def pack_words(q: jnp.ndarray, width: int) -> jnp.ndarray:
         qf = jnp.concatenate([qf, jnp.zeros((n_pad,), jnp.float32)])
     q3 = qf.reshape(-1, span)
     whi, wlo = _pack_matrices(width)
-    # precision=HIGHEST: on TPU the default f32 matmul truncates operands
-    # to bf16 (8 significand bits) — 16-bit SOFT16 fields would corrupt
-    # (e.g. 0xD9C2 -> 0xDA00); HIGHEST runs the multi-pass f32-exact MXU
-    # path, exact for all field widths here
+    prec = _pack_precision(width)   # exactness argument: _pack_precision
     hi = jnp.dot(q3, jnp.asarray(whi), preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+                 precision=prec)
     lo = jnp.dot(q3, jnp.asarray(wlo), preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+                 precision=prec)
     words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
     return words.reshape(-1)[:n_words]
 
@@ -148,14 +159,13 @@ def pack_words_2streams(q0: jnp.ndarray, q1: jnp.ndarray,
             qf = jnp.concatenate([qf, jnp.zeros((n_pad,), jnp.float32)])
         q3 = qf.reshape(-1, span)
         whi, wlo = _pack_matrices_strided(width, stream)
-        # precision=HIGHEST: exact f32 sums for 16-bit fields (see
-        # pack_words)
+        prec = _pack_precision(width)   # see _pack_precision
         hi = jnp.dot(q3, jnp.asarray(whi),
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=prec)
         lo = jnp.dot(q3, jnp.asarray(wlo),
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=prec)
         words = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
         word_acc = words if word_acc is None else (word_acc | words)
     return word_acc.reshape(-1)[:n_words]

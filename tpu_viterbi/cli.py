@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="output bits decoded per block")
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
+    p.add_argument("--survivor", choices=["auto", "full", "window"],
+                   default="auto",
+                   help="Pallas survivor-buffer mode: 'window' = the "
+                        "reference's one-pointer circular buffer "
+                        "(viterbi.cu:99-100); 'auto' uses it when the "
+                        "full store exceeds VMEM")
     p.add_argument("--time-mode", choices=["wall", "slope"], default="wall",
                    help="kernel-time measurement: 'wall' times each "
                         "dispatch (cudaEvent-style); 'slope' cancels fixed "
@@ -112,7 +118,8 @@ def run_e2e_device(args, cfg: DecoderConfig) -> int:
 
 def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
                  verbose: bool = False, seed=None, dec_len=None,
-                 backend: str = "auto", time_mode: str = "wall"):
+                 backend: str = "auto", time_mode: str = "wall",
+                 survivor: str = "auto"):
     """Build and run the full chain; returns (BEN, pipeline, decoded_words).
     (reference: main.cpp:119-172 runPipeline)"""
     if seed is None:
@@ -123,7 +130,7 @@ def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
     noise = AddNoise(snr_to_sigma(snr), seed=seed + 1)
     packer = SoftDecisionPacker(cfg.channel_in, scale=40000.0)
     viterbi = ViterbiDecoder(cfg, backend=backend, time_mode=time_mode,
-                             **kwargs)
+                             survivor=survivor, **kwargs)
 
     pipe = rand_gen.probe() | conv_enc | noise | packer | viterbi
     result = pipe.run()
@@ -205,7 +212,8 @@ def main(argv=None) -> int:
         ben, _, _ = run_pipeline(args.num, args.snr, cfg,
                                  verbose=args.verbose, seed=args.seed,
                                  dec_len=args.dec_len, backend=args.backend,
-                                 time_mode=args.time_mode)
+                                 time_mode=args.time_mode,
+                                 survivor=args.survivor)
     ber = ben / args.num
 
     print("Pipeline executed.")

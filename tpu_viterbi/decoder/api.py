@@ -43,7 +43,8 @@ class ViterbiTPU:
                  input_num: Optional[int] = None,
                  dec_len: int = DEFAULT_DEC_LEN,
                  backend: str = "auto",
-                 time_mode: str = "wall"):
+                 time_mode: str = "wall",
+                 survivor: str = "auto"):
         """backend: 'auto' | 'pallas' | 'xla' | 'pallas-interpret' — 'auto'
         uses the Pallas kernel on TPU when the config/shape supports it,
         else the XLA scan core; 'pallas-interpret' runs the Pallas kernel
@@ -55,7 +56,12 @@ class ViterbiTPU:
         overhead-cancelled per-decode figure measured once per input size
         via ``measure_kernel_time`` (right on high-latency / async-dispatch
         dev backends, where single-call wall time reads RPC overhead — or
-        nothing at all)."""
+        nothing at all).
+
+        survivor: 'auto' | 'full' | 'window' — survivor-buffer mode of the
+        Pallas kernel (core_pallas.resolve_window): 'window' is the
+        reference's one-pointer circular buffer (viterbi.cu:99-100),
+        'auto' uses it exactly when the full store would not fit VMEM."""
         if time_mode not in ("wall", "slope"):
             raise ValueError(f"time_mode must be 'wall' or 'slope', "
                              f"got {time_mode!r}")
@@ -63,6 +69,7 @@ class ViterbiTPU:
         self.dec_len = int(dec_len)
         self.backend = backend
         self.time_mode = time_mode
+        self.survivor = survivor
         self._slope_cache: dict = {}
         self._decode_fn = None
         if input_num is not None:
@@ -86,7 +93,13 @@ class ViterbiTPU:
         message_len = cfg.get_message_len(input_num)
         plan = plan_blocks(message_len, cfg.bits_per_pack, self.dec_len)
         interp = self.backend == "pallas-interpret"
-        use_pallas = interp or self._use_pallas(plan)
+        win = False
+        try:
+            from .core_pallas import resolve_window
+            win = resolve_window(self.survivor, cfg, plan)
+        except ImportError:
+            pass
+        use_pallas = interp or self._use_pallas(plan, win)
 
         @jax.jit
         def run(packed):
@@ -95,19 +108,19 @@ class ViterbiTPU:
             if use_pallas:
                 from .core_pallas import decode_packed_pallas
                 return decode_packed_pallas(packed, cfg, plan,
-                                            interpret=interp)
+                                            interpret=interp, window=win)
             return decode_packed_xla(packed, cfg, plan)
 
         return run, plan
 
-    def _use_pallas(self, plan) -> bool:
+    def _use_pallas(self, plan, window: bool = False) -> bool:
         if self.backend == "xla":
             return False
         try:
             from .core_pallas import pallas_supported
         except Exception:
             return False
-        ok = pallas_supported(self.config, plan)
+        ok = pallas_supported(self.config, plan, window=window)
         if self.backend == "pallas" and not ok:
             raise ValueError("pallas backend requested but unsupported for "
                              f"config={self.config} plan={plan}")

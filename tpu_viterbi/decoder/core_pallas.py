@@ -133,6 +133,28 @@ def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
         <= VMEM_BUDGET_BYTES
 
 
+def resolve_window(survivor: str, cfg: DecoderConfig, plan: BlockPlan,
+                   lane_tile: int = LANE_TILE) -> bool:
+    """Map a survivor-mode knob to the kernel's window flag.
+
+    'full'   — whole per-tile survivor store in VMEM
+    'window' — the one-pointer circular buffer (survivor_window_slots)
+    'auto'   — full when it fits the VMEM budget (bit-identical to the
+               r2 kernel), window when only the window fits — so plans
+               like SOFT16 dec_len 8192 or lane_tile 256 work out of the
+               box instead of falling back to the XLA core."""
+    if survivor == "full":
+        return False
+    if survivor == "window":
+        return True
+    if survivor != "auto":
+        raise ValueError(f"survivor must be 'auto', 'full' or 'window', "
+                         f"got {survivor!r}")
+    return (vmem_footprint_bytes(cfg, plan, lane_tile) > VMEM_BUDGET_BYTES
+            and vmem_footprint_bytes(cfg, plan, lane_tile, window=True)
+            <= VMEM_BUDGET_BYTES)
+
+
 def _check_vmem(cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
                 interpret: bool, fused: bool = True,
                 value_mode: bool = False, window: bool = False) -> None:

@@ -256,6 +256,13 @@ def fp32_ud_words(vals: jnp.ndarray) -> jnp.ndarray:
         v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
     s0, s1 = _interleave_matrices()             # (64, 128) one-hot
     rows = v.reshape(-1, 128)
+    # one-hot rows make each output an exact COPY of one f32 input, but
+    # ONLY under HIGHEST: the HIGH (bf16_3x) path was MEASURED inexact for
+    # these copies on chip (56% of packed words wrong,
+    # scripts/check_pack_exact.py r3) — its 3-way split does not cover the
+    # full 24-bit mantissa here.  DEFAULT would truncate operands to bf16.
+    # Exactness is locked on chip by check_pack_exact.py (adversarial
+    # trunc-boundary pairs + 2M-bit decode equality vs the XLA core).
     r0 = jnp.dot(rows, jnp.asarray(s0.T), preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST).reshape(-1)
     r1 = jnp.dot(rows, jnp.asarray(s1.T), preferred_element_type=jnp.float32,

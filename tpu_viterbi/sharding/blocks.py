@@ -38,7 +38,8 @@ def sharded_stage_count(total_stages: int, num_devices: int,
 
 
 def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
-                          mesh, dec_len: int = 2048):
+                          mesh, dec_len: int = 2048,
+                          survivor: str = "auto"):
     """Returns a jitted function decoding a globally-sharded packed input.
 
     Input:  packed words for num_devices * stages_per_device coded stages,
@@ -59,10 +60,12 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
 
     try:
         from ..decoder.core_pallas import (decode_packed_pallas,
-                                           pallas_supported)
-        use_pallas = pallas_supported(cfg, plan)
+                                           pallas_supported, resolve_window)
+        win = resolve_window(survivor, cfg, plan)
+        use_pallas = pallas_supported(cfg, plan, window=win)
     except Exception:
         use_pallas = False
+        win = False
 
     # halo exchanged at packed-word granularity (the wire format): the
     # first 64 coded stages of the right neighbor, one tiny ppermute edge
@@ -75,7 +78,7 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
         # word-granular staging end to end on both backends (no lane-padded
         # soft intermediates — see core_xla.stage_layout_packed)
         if use_pallas:
-            return decode_packed_pallas(words_full, cfg, plan)
+            return decode_packed_pallas(words_full, cfg, plan, window=win)
         return decode_packed_xla(words_full, cfg, plan)
 
     # check_vma=False: the decoder's zero-initialized scan carries are
