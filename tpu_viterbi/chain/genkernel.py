@@ -155,7 +155,7 @@ def _iota2(rows):
 
 
 def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
-                rows, width, lo, hi, scale, sigma, hard):
+                rows, width, lo, hi, scale, sigma, hard, fast_window=False):
     """One tile.  Lane ownership is strided so both outputs are emitted in
     flat stream order with zero relayout:
 
@@ -194,7 +194,7 @@ def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
     bits_ref[...] = own & tail_mask
 
     # ---- per-word encoder window: bits [w*spw - 6, w*spw + 26) ----
-    if spw == 2 and rows == 128:
+    if fast_window and spw == 2 and rows == 128:
         # Dedup'd window packs (the r2 "genkernel residual", VERDICT r3
         # item 2): the naive path below recomputes 2 full threefry calls
         # per WORD, but a program's 16384 words share only rows*NJ + 2
@@ -206,6 +206,15 @@ def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
         # (lane-broadcast + segmented select).  Bit-exact vs the naive
         # path (same draws, same funnel) — locked by the sigma=0
         # equality gates in tests/test_genkernel.py.
+        #
+        # MEASURED NEGATIVE, default OFF (r3, scripts/genwin_ab.py, 128M
+        # bits, k-multi slope, one process): fast 9.45 vs naive 8.86
+        # ms/gen — the 2*(NJ+1) per-program (rows,1)->(rows,128)
+        # lane-broadcasts + the (NJ+2, rows) VMEM transpose cost more
+        # than the ~94% of window-threefry lanes they deduplicate.  This
+        # closes the r2 "genkernel residual": the per-word window
+        # recompute IS the cheaper formulation on this backend; kept
+        # behind fast_window for reproducibility.
         NJ = 4 * spw                    # window packs per word-row
         p0w = (w0 * spw) >> 5           # first pack of the program span
         a = jax.lax.broadcasted_iota(jnp.int32, (NJ + 2, rows), 0)
@@ -422,7 +431,7 @@ def _key_data(key):
 
 
 def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
-                     width, vpw, wpl, interpret):
+                     width, vpw, wpl, interpret, fast_window=False):
     """pallas_call over one contiguous `grid * rows * 128`-word slab of the
     stream starting at word `base` (a traced scalar, so the same compiled
     kernel serves any shard); positions are rebuilt in-register."""
@@ -431,7 +440,8 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
     _, lo, hi = (0, 0, 0) if hard else _QUANT_PARAMS[channel_in]
     kernel = functools.partial(
         _gen_kernel, n_bits=n, vpw=vpw, wpl=wpl, rows=rows, width=width,
-        lo=lo, hi=hi, scale=float(scale), sigma=float(sigma), hard=hard)
+        lo=lo, hi=hi, scale=float(scale), sigma=float(sigma), hard=hard,
+        fast_window=fast_window)
     kd_base = jnp.concatenate([kd, base.reshape(1)])
     spw = vpw // 2
     return pl.pallas_call(
@@ -451,10 +461,12 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "channel_in", "snr_db", "scale", "rows", "interpret"))
+    "n", "channel_in", "snr_db", "scale", "rows", "interpret",
+    "fast_window"))
 def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
                            snr_db: float, scale: float,
-                           rows: int = GEN_ROWS, interpret: bool = False):
+                           rows: int = GEN_ROWS, interpret: bool = False,
+                           fast_window: bool = False):
     """Fused-generation analog of chain.workload.packed_workload.
 
     -> (bit_packs (ceil(n/32),) int32  [message bits, MSB = earliest],
@@ -473,7 +485,7 @@ def packed_workload_pallas(key: jax.Array, n: int, channel_in: ChannelIn,
     bits, words = _call_gen_kernel(
         kd, jnp.int32(0), n=n, channel_in=channel_in, snr_db=snr_db,
         scale=scale, rows=rows, grid=w_pad // (rows * 128), width=width,
-        vpw=vpw, wpl=wpl, interpret=interpret)
+        vpw=vpw, wpl=wpl, interpret=interpret, fast_window=fast_window)
     return bits.reshape(-1)[:n_packs], words.reshape(-1)[:n_words]
 
 
