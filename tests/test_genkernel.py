@@ -302,3 +302,22 @@ def test_f32_sharded_simulation_pallas_generator_ber0():
                               seed=5, dec_len=512, generator="pallas")
     assert m == cfg.get_message_len(2 * 8 * 2048)
     assert ben == 0
+
+
+def test_fast_window_matches_naive():
+    """The dedup'd encoder-window path (fast_window=True; a measured perf
+    NEGATIVE kept for reproducibility, scripts/genwin_ab.py) must stay
+    bit-identical to the per-word recompute it replaces."""
+    import jax
+    from tpu_viterbi.chain.genkernel import packed_workload_pallas
+    from tpu_viterbi.config import ChannelIn
+
+    n = 200_000
+    outs = []
+    for fast in (True, False):
+        bits, words = packed_workload_pallas(
+            jax.random.PRNGKey(77), n, ChannelIn.SOFT8, 5.5, 32.0,
+            interpret=True, fast_window=fast)
+        outs.append((np.asarray(bits), np.asarray(words)))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])

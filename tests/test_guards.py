@@ -87,3 +87,26 @@ def test_interpret_mode_skips_the_guard():
     # interpret mode has no VMEM; small-shape CI must not be rejected
     plan = plan_blocks(65536, 32, 65536)
     core_pallas._check_vmem(CFG, plan, core_pallas.LANE_TILE, interpret=True)
+
+
+def test_resolve_window_policy():
+    from tpu_viterbi.decoder.core_pallas import (resolve_window,
+                                                 survivor_window_slots)
+    cfg8 = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    cfg16 = DecoderConfig(channel_in=ChannelIn.SOFT16)
+    p8192 = plan_blocks(32_000_000 - 64, 32, 8192)
+    # explicit modes
+    assert resolve_window("full", cfg8, p8192) is False
+    assert resolve_window("window", cfg8, p8192) is True
+    # auto: full fits for SOFT8@8192 -> keep bit-identical full store
+    assert resolve_window("auto", cfg8, p8192) is False
+    # auto: SOFT16@8192 only fits windowed -> window
+    assert resolve_window("auto", cfg16, p8192) is True
+    with pytest.raises(ValueError, match="survivor"):
+        resolve_window("circular", cfg8, p8192)
+    # window depth matches the reference's forwardLen/bpp at bpp=32
+    assert survivor_window_slots(cfg8) == 3
+    from tpu_viterbi.config import DecodeOut
+    cfg16out = DecoderConfig(channel_in=ChannelIn.SOFT8,
+                             decode_out=DecodeOut.O_B16)
+    assert survivor_window_slots(cfg16out) == 4   # n_conv=2 at bpp=16

@@ -14,9 +14,9 @@ from tpu_viterbi.utils.bits import unpack_msb_first
 
 EXTRA_L = 26
 
-_SCALES = {ChannelIn.HARD: 40000.0, ChannelIn.SOFT4: 4.0,
-           ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0,
-           ChannelIn.FP32: 4.0}
+# canonical per-channel scales (sharding/simulate.py); HARD's scale is
+# sign-irrelevant so the shared table's 1.0 is equivalent to any positive
+from tpu_viterbi.sharding.simulate import DEFAULT_SCALES as _SCALES
 
 
 def _workload(n, sigma, seed=21, channel=ChannelIn.SOFT8):

@@ -20,9 +20,9 @@ from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
                                              vmem_footprint_bytes)
 from tpu_viterbi.decoder.core_xla import plan_blocks
 
-_SCALES = {ChannelIn.HARD: 40000.0, ChannelIn.SOFT4: 4.0,
-           ChannelIn.SOFT8: 32.0, ChannelIn.SOFT16: 8192.0,
-           ChannelIn.FP32: 4.0}
+# canonical per-channel scales (sharding/simulate.py); HARD's scale is
+# sign-irrelevant so the shared table's 1.0 is equivalent to any positive
+from tpu_viterbi.sharding.simulate import DEFAULT_SCALES as _SCALES
 
 
 @pytest.fixture(autouse=True)

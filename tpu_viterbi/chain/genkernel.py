@@ -194,7 +194,7 @@ def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
     bits_ref[...] = own & tail_mask
 
     # ---- per-word encoder window: bits [w*spw - 6, w*spw + 26) ----
-    if fast_window and spw == 2 and rows == 128:
+    if fast_window:                 # call site guarantees spw==2, rows==128
         # Dedup'd window packs (the r2 "genkernel residual", VERDICT r3
         # item 2): the naive path below recomputes 2 full threefry calls
         # per WORD, but a program's 16384 words share only rows*NJ + 2
@@ -204,8 +204,12 @@ def _gen_kernel(key_ref, bits_ref, words_ref, win_ref, *, n_bits, vpw, wpl,
         # VMEM transpose lands them word-row-major; then each lane
         # selects its covering pack from its row's NJ+1 window columns
         # (lane-broadcast + segmented select).  Bit-exact vs the naive
-        # path (same draws, same funnel) — locked by the sigma=0
-        # equality gates in tests/test_genkernel.py.
+        # path (same draws, same funnel) — locked by
+        # tests/test_genkernel.py::test_fast_window_matches_naive, and
+        # on chip by scripts/genwin_ab.py.  PRECONDITION: the program's
+        # base word offset w0 must be a multiple of 16 so
+        # p0w = (w0*spw) >> 5 is exact — true for every current caller
+        # (program spans are multiples of rows*128 words).
         #
         # MEASURED NEGATIVE, default OFF (r3, scripts/genwin_ab.py, 128M
         # bits, k-multi slope, one process): fast 9.45 vs naive 8.86
@@ -438,12 +442,15 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
     sigma = 0.0 if math.isinf(snr_db) else snr_to_sigma(snr_db)
     hard = channel_in == ChannelIn.HARD
     _, lo, hi = (0, 0, 0) if hard else _QUANT_PARAMS[channel_in]
+    spw = vpw // 2
+    # the fast path applies only at the SOFT8 tile shape; size the window
+    # scratch (1, 1) otherwise so the default-off path pays zero VMEM
+    fast = fast_window and spw == 2 and rows == 128
     kernel = functools.partial(
         _gen_kernel, n_bits=n, vpw=vpw, wpl=wpl, rows=rows, width=width,
         lo=lo, hi=hi, scale=float(scale), sigma=float(sigma), hard=hard,
-        fast_window=fast_window)
+        fast_window=fast)
     kd_base = jnp.concatenate([kd, base.reshape(1)])
-    spw = vpw // 2
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -455,7 +462,8 @@ def _call_gen_kernel(kd, base, *, n, channel_in, snr_db, scale, rows, grid,
         out_shape=[jax.ShapeDtypeStruct((grid * rows // wpl, 128),
                                         jnp.int32),
                    jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((rows, 4 * spw + 2), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, 4 * spw + 2) if fast else (1, 1),
+                                   jnp.int32)],
         interpret=interpret,
     )(kd_base)
 

@@ -84,7 +84,7 @@ def _pack_precision(width: int):
     (SOFT16) genuinely need HIGHEST (e.g. 0xD9C2 truncates to 0xDA00 in
     bf16).  Exactness is locked by tests/test_chain.py pack round-trips
     (CPU) and the on-chip battery (tests_tpu)."""
-    return (jax.lax.Precision.HIGHEST if width >= 16
+    return (jax.lax.Precision.HIGHEST if width > 8
             else jax.lax.Precision.DEFAULT)
 
 

@@ -96,7 +96,7 @@ def run_e2e_device(args, cfg: DecoderConfig) -> int:
     mesh = make_block_mesh()
     fn, m = build_sharded_simulation(
         cfg, args.num, mesh, snr_db=args.snr, scale=40000.0,
-        dec_len=args.dec_len or DEFAULT_DEC_LEN)
+        dec_len=args.dec_len or DEFAULT_DEC_LEN, survivor=args.survivor)
     seed = args.seed if args.seed is not None else \
         int(np.random.SeedSequence().entropy % (2 ** 31))
     t0 = time.time()

@@ -65,6 +65,9 @@ class ViterbiTPU:
         if time_mode not in ("wall", "slope"):
             raise ValueError(f"time_mode must be 'wall' or 'slope', "
                              f"got {time_mode!r}")
+        if survivor not in ("auto", "full", "window"):
+            raise ValueError(f"survivor must be 'auto', 'full' or "
+                             f"'window', got {survivor!r}")
         self.config = config
         self.dec_len = int(dec_len)
         self.backend = backend

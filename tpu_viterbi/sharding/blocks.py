@@ -58,12 +58,15 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     plan = plan_blocks(sd, cfg.bits_per_pack, dec_len)
     perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
 
+    if survivor not in ("auto", "full", "window"):
+        raise ValueError(f"survivor must be 'auto', 'full' or 'window', "
+                         f"got {survivor!r}")
     try:
         from ..decoder.core_pallas import (decode_packed_pallas,
                                            pallas_supported, resolve_window)
         win = resolve_window(survivor, cfg, plan)
         use_pallas = pallas_supported(cfg, plan, window=win)
-    except Exception:
+    except ImportError:
         use_pallas = False
         win = False
 

@@ -70,7 +70,8 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
                              snr_db: float = 5.5, scale: float = None,
                              dec_len: int = 2048,
                              return_output: bool = False,
-                             generator: str = "auto"):
+                             generator: str = "auto",
+                             survivor: str = "auto"):
     """Returns (jitted simulate(key), message_len_out).
 
     simulate(key) runs the full generate->decode->count chain on the mesh
@@ -111,7 +112,8 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
         if sd_al * num_devices <= total_stages + total_stages // 8:
             sd = sd_al
 
-    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
+    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
+                                            survivor=survivor)
     dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     words_needed = sd * num_devices * 2 // dpp
     if scale is None:
