@@ -326,19 +326,26 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         s1 = (2 * _parity(w & _TAP_MASK1) - 1).astype(dtype)
         consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
 
-    states = jax.lax.broadcasted_iota(jnp.int32, (NUM_STATES, 1), 0)
     emit_lo = n_packs - n_conv - n_emit         # lowest pack index emitted
     W = n_conv + 2
 
     def _chase(slot_pack, state):
-        """One-hot register-exchange step: gather the survivor pack of
-        `state` (1, LT) from a (64, LT) slot; next state = its last 6
-        decision bits (cf. __brev state extraction, viterbiTB.cuh:10-18,
-        already bit-reversed here by the dump convention)."""
-        onehot = states == state
-        pack = jnp.sum(jnp.where(onehot, slot_pack, 0), axis=0,
-                       keepdims=True)           # (1, LT)
-        return pack, jax.lax.shift_right_logical(pack, bpp - 6) & 63
+        """Register-exchange step: gather the survivor pack of `state`
+        (1, LT) from a (64, LT) slot; next state = its last 6 decision
+        bits (cf. __brev state extraction, viterbiTB.cuh:10-18, already
+        bit-reversed here by the dump convention).
+
+        The per-lane dynamic row select is a 6-level binary bisection on
+        the state bits (63 halving row-ops: 32+16+...+1) instead of the
+        one-hot compare+select+sum-tree (~190 row-ops) — measured
+        traceback share 1.26 ns/stage in scripts/kernel_ablation.py, the
+        largest non-ACS piece of the kernel."""
+        x = slot_pack                           # (2^b.., LT)
+        for b in (5, 4, 3, 2, 1, 0):
+            h = 1 << b
+            bit = jax.lax.shift_right_logical(state, b) & 1
+            x = jnp.where(bit == 1, x[h:2 * h], x[0:h])
+        return x, jax.lax.shift_right_logical(x, bpp - 6) & 63
 
     def pack_body(p, carry):
         pm, pp = carry
