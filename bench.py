@@ -109,7 +109,11 @@ def main():
 
     # k sized to HBM: each instance holds its input + staging copies
     k_hi = 4 if message_len <= 64_000_000 else 2
-    n_inputs = k_hi + 2
+    # 8 inputs keep every timed index set distinct from both warmup
+    # sets AND every other timed set across 6 reps for BOTH k_hi values
+    # (the relay memoizes identical dispatches; a repeated one returns
+    # floor time and corrupts the min-based slope in either direction)
+    n_inputs = 8
 
     _log(f"building {n_inputs} workloads (m={m}, backend="
          f"{'pallas' if use_pallas else 'xla'})")
@@ -130,9 +134,10 @@ def main():
     _log(f"BEN={ben}; timing decode (k-multi slope, k={k_hi})")
     np.asarray(jh(*flat(pairs[:k_hi])))
     tl, th = [], []
-    for j in range(4):
+    for j in range(6):   # 6 reps: the relay intermittently injects
+                         # 50-100 ms outliers; min() needs clean samples
         t0 = time.perf_counter()
-        np.asarray(j1(*flat([pairs[(j + 1) % n]])))
+        np.asarray(j1(*flat([pairs[1 + (j % (n - 1))]])))
         tl.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(jh(*flat([pairs[(j + 2 + i) % n] for i in range(k_hi)])))
@@ -184,7 +189,7 @@ def main():
         mesh = make_block_mesh(jax.devices()[:1])
         sim, m_e2e = build_sharded_simulation(
             cfg, message_len, mesh, snr_db=snr_db, dec_len=dec_len)
-        keys = [jax.random.PRNGKey(1000 + i) for i in range(k_hi + 2)]
+        keys = [jax.random.PRNGKey(1000 + i) for i in range(8)]
 
         def sim_k(*ks):
             return sum(sim(k) for k in ks)
@@ -192,9 +197,9 @@ def main():
         ben_e2e = int(np.asarray(s1(keys[0])))
         np.asarray(sh(*keys[:k_hi]))
         tl, th = [], []
-        for j in range(3):
+        for j in range(4):
             t0 = time.perf_counter()
-            np.asarray(s1(keys[(j + 1) % len(keys)]))
+            np.asarray(s1(keys[1 + (j % (len(keys) - 1))]))
             tl.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             np.asarray(sh(*(keys[(j + 2 + i) % len(keys)]
