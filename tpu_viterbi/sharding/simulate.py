@@ -175,10 +175,11 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
 def simulate_sharded(cfg: DecoderConfig, message_len: int, mesh,
                      snr_db: float = 5.5, seed: int = 0,
                      scale: float = None, dec_len: int = 2048,
-                     generator: str = "auto") -> Tuple[int, int]:
+                     generator: str = "auto",
+                     survivor: str = "auto") -> Tuple[int, int]:
     """Convenience one-shot: returns (bit_error_count, message_len)."""
     fn, m = build_sharded_simulation(cfg, message_len, mesh, snr_db=snr_db,
                                      scale=scale, dec_len=dec_len,
-                                     generator=generator)
+                                     generator=generator, survivor=survivor)
     ben = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed))))
     return ben, m
