@@ -94,7 +94,8 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
 
 
 def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
-                   mesh, dec_len: int = 2048) -> Tuple[np.ndarray, int]:
+                   mesh, dec_len: int = 2048,
+                   survivor: str = "auto") -> Tuple[np.ndarray, int]:
     """Convenience end-to-end sharded decode.
 
     packed_global: full packed channel input (host array).  Returns
@@ -115,7 +116,8 @@ def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
     else:
         arr = arr[:words_needed]
 
-    fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len)
+    fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
+                                     survivor=survivor)
     # device_put of the host array onto the (possibly multi-process) mesh:
     # each process materializes only its addressable shards
     x = jax.device_put(arr, NamedSharding(mesh, P(BLOCK_AXIS)))
