@@ -185,3 +185,67 @@ def test_run_rejects_short_input():
     short = np.zeros(words - 1, dtype=np.int32)
     with _pytest.raises(ValueError, match="need"):
         dec.run(short, input_num, want_time=False)
+
+
+def test_exec_cache_keyed_by_input_size():
+    """Alternating input sizes must NOT re-lower/recompile: the executable
+    cache is keyed per size (VERDICT r3 item 4; reference pre-alloc intent
+    viterbi.cu:31-36)."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    dec = ViterbiTPU(cfg, dec_len=256, backend="xla")
+    n_a, n_b = 2 * 4096, 2 * 8192
+    rng = np.random.default_rng(3)
+
+    def run(n):
+        words = cfg.get_input_words(n)
+        x = rng.integers(-2 ** 31, 2 ** 31, size=words).astype(np.int32)
+        dec.run(x, n, want_time=False)
+        return dec._exec
+
+    e_a1, e_b1 = run(n_a), run(n_b)
+    assert e_a1 is not e_b1
+    e_a2, e_b2 = run(n_a), run(n_b)
+    assert e_a2 is e_a1            # same compiled executable reused
+    assert e_b2 is e_b1
+    assert set(dec._exec_cache) == {n_a, n_b}
+
+
+def test_use_pallas_raises_on_real_bugs():
+    """_use_pallas only swallows ImportError; a genuine bug inside
+    core_pallas must raise instead of silently demoting every run to the
+    XLA core (VERDICT r3 item 5)."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from tpu_viterbi.decoder import api as api_mod
+
+    name = "tpu_viterbi.decoder.core_pallas"
+    real = sys.modules.get(name)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    plan = plan_blocks(cfg.get_message_len(2 * 4096), 32, 256)
+
+    class Broken(types.ModuleType):
+        def __getattr__(self, attr):
+            raise RuntimeError("core_pallas is broken")
+
+    try:
+        sys.modules[name] = Broken(name)
+        dec = ViterbiTPU(cfg, dec_len=256)
+        with _pytest.raises(RuntimeError, match="broken"):
+            dec._use_pallas(plan)
+
+        # an unimportable module (ImportError) still falls back cleanly
+        class Missing(types.ModuleType):
+            def __getattr__(self, attr):
+                raise ImportError("core_pallas unavailable")
+
+        sys.modules[name] = Missing(name)
+        dec2 = ViterbiTPU(cfg, dec_len=256)
+        assert dec2._use_pallas(plan) is False
+    finally:
+        if real is not None:
+            sys.modules[name] = real
+        else:
+            sys.modules.pop(name, None)

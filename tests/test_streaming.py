@@ -145,3 +145,27 @@ def test_streaming_pallas_backend(channel):
     assert np.array_equal(got_p, got_x)
     m = cfg.get_message_len(2 * n)
     assert len(got_p) * 32 == m
+
+
+def test_streaming_windowed_survivor():
+    """Streaming over the one-pointer circular survivor kernel
+    (survivor='window', VERDICT r3 item 6: StreamingViterbi now plumbs the
+    knob through).  On coded input the windowed and full-survivor decodes
+    are bit-equal (tests/test_survivor_window.py), so the whole streamed
+    output must match the XLA-core stream exactly."""
+    n = 6_000
+    bits, packed = _workload(n, 0.4, seed=13)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    sv_w = StreamingViterbi(cfg, dec_len=256, backend="pallas-interpret",
+                            survivor="window")
+    sv_x = StreamingViterbi(cfg, dec_len=256, backend="xla")
+    outs_w, outs_x = [], []
+    for i in range(0, len(packed), 1024):
+        outs_w.append(sv_w.push(packed[i: i + 1024]))
+        outs_x.append(sv_x.push(packed[i: i + 1024]))
+    outs_w.append(sv_w.flush())
+    outs_x.append(sv_x.flush())
+    got_w = np.concatenate([o for o in outs_w if len(o)])
+    got_x = np.concatenate([o for o in outs_x if len(o)])
+    assert np.array_equal(got_w, got_x)
+    assert len(got_w) * 32 == cfg.get_message_len(2 * n)

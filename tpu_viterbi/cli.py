@@ -79,6 +79,12 @@ def parse_args(argv=None):
                         "as one jitted program sharded over all local "
                         "devices; only the error count leaves the device "
                         "(sharding/simulate.py)")
+    p.add_argument("--generator", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="with --e2e-device: in-graph workload generator — "
+                        "'pallas' = fused counter-mode kernel "
+                        "(chain/genkernel.py), 'xla' = element chain, "
+                        "'auto' = pallas on TPU")
     return p.parse_args(argv)
 
 
@@ -96,7 +102,8 @@ def run_e2e_device(args, cfg: DecoderConfig) -> int:
     mesh = make_block_mesh()
     fn, m = build_sharded_simulation(
         cfg, args.num, mesh, snr_db=args.snr, scale=40000.0,
-        dec_len=args.dec_len or DEFAULT_DEC_LEN, survivor=args.survivor)
+        dec_len=args.dec_len or DEFAULT_DEC_LEN, survivor=args.survivor,
+        generator=args.generator)
     seed = args.seed if args.seed is not None else \
         int(np.random.SeedSequence().entropy % (2 ** 31))
     t0 = time.time()
@@ -198,6 +205,25 @@ def main(argv=None) -> int:
         comp_pretty = "Regular" if cfg.comp_mode == CompMode.REG else "DPX"
         print(f"Computation Mode: {comp_pretty}")
         print()
+
+    # flag interplay (VERDICT r3 item 6): the in-graph path has no per-
+    # element backend/time-mode knobs — reject rather than silently ignore;
+    # conversely --generator only exists in-graph
+    if args.e2e_device:
+        if args.backend != "auto":
+            print("Error: --backend is not applicable with --e2e-device "
+                  "(the in-graph simulation selects its decode kernel via "
+                  "--survivor / VMEM fit).", file=sys.stderr)
+            return -1
+        if args.time_mode != "wall":
+            print("Error: --time-mode is not applicable with --e2e-device "
+                  "(use -v for steady-state per-call timing).",
+                  file=sys.stderr)
+            return -1
+    elif args.generator != "auto":
+        print("Error: --generator requires --e2e-device (the pipeline path "
+              "always uses the host element chain).", file=sys.stderr)
+        return -1
 
     import contextlib
     if args.profile:

@@ -30,9 +30,15 @@ class StreamingViterbi:
     """Chunked decoding with carry-over of the overlap-save boundary."""
 
     def __init__(self, config: DecoderConfig = DecoderConfig(),
-                 dec_len: int = DEFAULT_DEC_LEN, backend: str = "auto"):
+                 dec_len: int = DEFAULT_DEC_LEN, backend: str = "auto",
+                 survivor: str = "auto", time_mode: str = "wall"):
+        """backend / survivor / time_mode are forwarded verbatim to the
+        underlying ViterbiTPU (api.py) — in particular survivor='window'
+        streams through the one-pointer circular survivor kernel
+        (VERDICT r3 item 6; CI covers it via backend='pallas-interpret')."""
         self.config = config
-        self._dec = ViterbiTPU(config, dec_len=dec_len, backend=backend)
+        self._dec = ViterbiTPU(config, dec_len=dec_len, backend=backend,
+                               survivor=survivor, time_mode=time_mode)
         self._carry: Optional[np.ndarray] = None  # packed words carried over
 
     @property
