@@ -38,6 +38,9 @@ def main():
     p.add_argument("--dec-len", type=int, default=256)
     p.add_argument("--snr", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=17)
+    p.add_argument("--output", choices=["b32", "b16"], default="b32",
+                   help="decode output pack width (b16 exercises the "
+                        "uint16 process_allgather path)")
     args = p.parse_args()
 
     from tpu_viterbi.sharding.mesh import initialize_distributed
@@ -54,12 +57,14 @@ def main():
     n_local = len(jax.local_devices())
     assert n_global == args.num_processes * n_local, (n_global, n_local)
 
-    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
     from tpu_viterbi.sharding.blocks import decode_sharded
     from tpu_viterbi.sharding.mesh import make_block_mesh
     from tpu_viterbi.sharding.simulate import build_sharded_simulation
 
-    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8,
+                        decode_out=(DecodeOut.O_B16 if args.output == "b16"
+                                    else DecodeOut.O_B32))
     mesh = make_block_mesh()                       # global: spans processes
     local_mesh = make_block_mesh(jax.local_devices()[:1])  # reference
 

@@ -61,9 +61,17 @@ def _ref_words32(bits: jnp.ndarray, cfg: DecoderConfig,
     message bit i + extra_l, MSB earliest — main.cpp:160-161).  The bpp=16
     comparison happens against these 32-bit packs directly (see simulate):
     splitting them into an interleaved 16-bit stream would materialize a
-    minor-dim-2 array, which pads 2 -> 128 lanes under TPU tiling."""
-    span = bits[cfg.extra_l: cfg.extra_l + m32].astype(jnp.uint32)
-    return pack_words(span, 1)
+    minor-dim-2 array, which pads 2 -> 128 lanes under TPU tiling.
+
+    Order matters for scaling: pack the bit stream at its ALIGNED
+    positions first (shard-local matmuls), then apply the extra_l shift in
+    pack space (ref_words_from_packs: one-word shift-combine whose only
+    cross-shard traffic is a single boundary word).  Slicing
+    bits[extra_l:] before packing misaligns every shard and made GSPMD
+    all-gather the full f32 stream — caught by the collective census audit
+    (sharding/audit.py; tests/test_scaling_structure.py locks it out)."""
+    packs = pack_words(bits.astype(jnp.uint32), 1)
+    return ref_words_from_packs(packs, cfg.extra_l, m32)
 
 
 def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
