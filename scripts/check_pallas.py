@@ -23,19 +23,16 @@ def check(cfg, dec_len, b, extra_m=0):
     r = rng.integers(-100, 101, size=(s, 2)).astype(np.int32)
     out = np.asarray(decode_blocks_pallas(jnp.asarray(r), cfg, plan))
     bits = unpack_msb_first(out, cfg.bits_per_pack)
+    need = (plan.num_blocks - 1) * dec_len + plan.block_len
+    rp = r if len(r) >= need else np.concatenate(
+        [r, np.zeros((need - len(r), 2), r.dtype)])
     for k, off in enumerate(plan.offsets()):
-        want = golden_decode_block(r[off:off + dec_len + 64].astype(np.int64),
-                                   dec_len)
+        want = golden_decode_block(rp[off:off + dec_len + 64]
+                                   .astype(np.int64), dec_len)
         got = bits[off: off + dec_len]
-        # compare only the span this block actually contributes to the
-        # assembled stream: head blocks own [off, off+dec_len) clipped at the
-        # last block's start; the last block owns only its non-overlap tail
+        # natural framing: block k owns [off, min(off+dec_len, m))
         lo = 0
-        n = len(want)
-        if k == plan.num_blocks - 1:
-            lo = plan.overlap_bits
-        else:
-            n = min(n, max(0, (m - dec_len) - off))
+        n = min(len(want), m - off)
         if not np.array_equal(got[lo:n], want[lo:n]):
             bad = np.nonzero(got[lo:n] != want[lo:n])[0]
             print(f"  MISMATCH block {k} off={off} nbad={len(bad)} "

@@ -46,13 +46,14 @@ def golden_check():
         return False
     bits = unpack_msb_first(out, cfg.bits_per_pack)
     bad = 0
+    need = (plan.num_blocks - 1) * dec_len + plan.block_len
+    rp = r if len(r) >= need else np.concatenate(
+        [r, np.zeros((need - len(r), 2), r.dtype)])
     for k, off in enumerate(plan.offsets()):
-        want = golden_decode_block(r[off:off + dec_len + 64].astype(np.int64),
-                                   dec_len)
-        lo = plan.overlap_bits if k == plan.num_blocks - 1 else 0
-        n = len(want) if k == plan.num_blocks - 1 else min(
-            len(want), max(0, (m - dec_len) - off))
-        if not np.array_equal(bits[off + lo: off + n], want[lo:n]):
+        want = golden_decode_block(rp[off:off + dec_len + 64]
+                                   .astype(np.int64), dec_len)
+        n = min(len(want), m - off)       # natural framing
+        if not np.array_equal(bits[off: off + n], want[:n]):
             bad += 1
     log(f"golden check: {'OK' if bad == 0 else f'{bad} BAD BLOCKS'}")
     return bad == 0

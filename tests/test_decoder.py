@@ -66,8 +66,9 @@ def test_metric_dtypes_agree(rng):
 
 
 def test_last_block_overlap_assembly(rng):
-    """message_len not divisible by dec_len: the left-shifted last block must
-    produce the same bits as a golden decode of its span."""
+    """message_len not divisible by dec_len: the last (partial) block must
+    contribute exactly its first dec_len - overlap_bits bits, matching a
+    golden decode of its zero-padded span (natural framing, BlockPlan)."""
     dec_len = 64
     m = 64 * 3 + 32  # forces overlap of 32 bits
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
@@ -80,16 +81,13 @@ def test_last_block_overlap_assembly(rng):
     bits = unpack_msb_first(out, 32)
     assert len(bits) == m
     # every output bit must match a golden block decode covering it
+    need = (plan.num_blocks - 1) * dec_len + plan.block_len
+    rp = np.concatenate([r, np.zeros((need - s, 2), r.dtype)])
     for k, off in enumerate(plan.offsets()):
         want = golden_decode_block(
-            r[off: off + dec_len + 64].astype(np.int64), dec_len)
-        span = bits[off: off + dec_len]
-        if k < plan.num_blocks - 1 and off + dec_len > m - dec_len:
-            # tail covered by the last block; only compare the head part
-            span_len = (m - dec_len) - off
-            assert np.array_equal(span[:span_len], want[:span_len])
-        else:
-            assert np.array_equal(span, want)
+            rp[off: off + dec_len + 64].astype(np.int64), dec_len)
+        n = min(dec_len, m - off)
+        assert np.array_equal(bits[off: off + n], want[:n]), k
 
 
 def _end_to_end(cfg, n=4096, sigma=0.0, seed=5, dec_len=256, scale=4.0):

@@ -48,14 +48,18 @@ def test_fuzz_decode_matches_golden(trial):
         r = unpack_to_soft_np(words, cfg.channel_in)[:n_vals] \
             .reshape(-1, 2).astype(np.int64)
 
+    # natural framing: block k owns bits [k*dec_len, min((k+1)*dec_len, m));
+    # the last block's input tail past the stream is zero WORDS — which
+    # unpack to -1 under HARD — so golden must see the same fill
+    need = (plan.num_blocks - 1) * plan.dec_len + plan.block_len
+    if len(r) < need:
+        fill = -1 if cfg.channel_in == ChannelIn.HARD else 0
+        r = np.concatenate(
+            [r, np.full((need - len(r), 2), fill, r.dtype)])
     for k, off in enumerate(plan.offsets()):
         want = golden_decode_block(r[off:off + plan.block_len], plan.dec_len)
-        lo, n = 0, len(want)
-        if k == plan.num_blocks - 1:
-            lo = plan.overlap_bits
-        else:
-            n = min(n, max(0, (message_len - plan.dec_len) - off))
-        assert np.array_equal(bits[off + lo: off + n], want[lo:n]), (
+        n = min(plan.dec_len, message_len - off)
+        assert np.array_equal(bits[off: off + n], want[:n]), (
             f"trial={trial} cfg={cfg} block={k} off={off}")
 
 

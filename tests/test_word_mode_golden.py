@@ -54,15 +54,17 @@ def _golden_soft(words, cfg, n_vals):
         .reshape(-1, 2).astype(np.int64)
 
 
-def _check_against_golden(bits, r, plan, ctx):
+def _check_against_golden(bits, r, plan, ctx, hard=False):
+    # natural framing: block k owns bits [k*dec_len, min((k+1)*dec_len, m));
+    # the beyond-stream tail is zero WORDS (-1 values under HARD)
+    need = (plan.num_blocks - 1) * plan.dec_len + plan.block_len
+    if len(r) < need:
+        r = np.concatenate(
+            [r, np.full((need - len(r), 2), -1 if hard else 0, r.dtype)])
     for k, off in enumerate(plan.offsets()):
         want = golden_decode_block(r[off:off + plan.block_len], plan.dec_len)
-        lo, n = 0, len(want)
-        if k == plan.num_blocks - 1:
-            lo = plan.overlap_bits   # overlapped bits owned by block k-1
-        else:
-            n = min(n, max(0, (plan.message_len - plan.dec_len) - off))
-        assert np.array_equal(bits[off + lo: off + n], want[lo:n]), (
+        n = min(plan.dec_len, plan.message_len - off)
+        assert np.array_equal(bits[off: off + n], want[:n]), (
             f"{ctx} block={k} off={off}")
 
 
@@ -85,7 +87,8 @@ def test_packed_pallas_interpret_matches_golden(rng, channel, decode_out):
     bits = unpack_msb_first(out, bpp)
     r = _golden_soft(words, cfg, n_vals)
     _check_against_golden(bits, r, plan,
-                          f"{channel.name}/{decode_out.name}/fused")
+                          f"{channel.name}/{decode_out.name}/fused",
+                          hard=channel == ChannelIn.HARD)
 
 
 @pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT4,
@@ -105,7 +108,8 @@ def test_packed_pallas_unfused_interpret_matches_golden(rng, channel):
                                           fused=False, interpret=True))
     bits = unpack_msb_first(out, bpp)
     r = _golden_soft(words, cfg, n_vals)
-    _check_against_golden(bits, r, plan, f"{channel.name}/unfused")
+    _check_against_golden(bits, r, plan, f"{channel.name}/unfused",
+                          hard=channel == ChannelIn.HARD)
 
 
 def test_fp32_ud_matches_value(rng):

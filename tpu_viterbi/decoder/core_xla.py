@@ -57,10 +57,19 @@ def metric_dtype(metric: Metric):
 class BlockPlan:
     """Static partition of a message into equal overlap-save blocks.
 
-    All blocks decode `dec_len` output bits from `dec_len + 64` input stages.
-    Blocks 0..B-2 start at k*dec_len; the last block is left-shifted to end
-    exactly at message_len (reference instead distributes remainder packs,
-    viterbi.cu:156-162 — equal blocks keep every tensor uniform on TPU).
+    All blocks decode `dec_len` output bits from `dec_len + 64` input
+    stages; block k starts at k*dec_len (reference instead distributes
+    remainder packs, viterbi.cu:156-162 — equal blocks keep every tensor
+    uniform on TPU).  The last block's span may run past message_len; only
+    its first dec_len - overlap_bits bits are kept (assemble_output), the
+    rest — decoded from the zero-padded stream tail — are discarded.
+    get_message_len guarantees every KEPT bit's extra_r right halo is real
+    input, so this "natural" framing is as valid as any.  (r1-r3 instead
+    LEFT-SHIFTED the last block to end exactly at message_len; that forced
+    a dynamic-slice patch into every staging path, whose copies cost
+    ~0.5 ms at the 32M bench config — scripts/staging_cost.py r4.  The two
+    framings differ only in which equally-valid decode the last partial
+    block's bits get.)
     """
 
     message_len: int
@@ -77,14 +86,11 @@ class BlockPlan:
         return self.block_len // self.bits_per_pack
 
     @property
-    def overlap_bits(self) -> int:  # tail overlap of the last block
+    def overlap_bits(self) -> int:  # discarded tail bits of the last block
         return self.num_blocks * self.dec_len - self.message_len
 
     def offsets(self) -> np.ndarray:
-        o = np.arange(self.num_blocks, dtype=np.int32) * self.dec_len
-        if self.num_blocks > 1:
-            o[-1] = self.message_len - self.dec_len
-        return o
+        return np.arange(self.num_blocks, dtype=np.int32) * self.dec_len
 
 
 def plan_blocks(message_len: int, bits_per_pack: int,
@@ -132,6 +138,10 @@ def gather_blocks(r: jnp.ndarray, plan: BlockPlan) -> jnp.ndarray:
     readable reference / small-scale fallback — production entry points use
     stage_layout_packed below."""
     offs = jnp.asarray(plan.offsets())
+    need = (plan.num_blocks - 1) * plan.dec_len + plan.block_len
+    if r.shape[0] < need:   # natural framing: zero-pad the last block's tail
+        pad = [(0, need - r.shape[0])] + [(0, 0)] * (r.ndim - 1)
+        r = jnp.pad(r, pad)
     idx = offs[:, None] + jnp.arange(plan.block_len, dtype=jnp.int32)[None, :]
     return r[idx]
 
@@ -158,10 +168,10 @@ def stage_words(packed: jnp.ndarray, cfg: DecoderConfig,
                 plan: BlockPlan, b_pad: int) -> jnp.ndarray:
     """Packed channel words -> (Lw, b_pad) word-major block layout.
 
-    The block split (overlapped windows of shifted reshaped views +
-    last-block patch) happens at *word* granularity — 1/dpp of the
-    soft-value traffic.  FP32 channel values are treated as width-32
-    one-value words."""
+    The block split (overlapped windows of shifted reshaped views) happens
+    at *word* granularity — 1/dpp of the soft-value traffic.  FP32 channel
+    values are treated as width-32 one-value words.  Natural framing: the
+    last block's span past the stream is zero-padded (BlockPlan docstring)."""
     is_float = cfg.channel_in == ChannelIn.FP32
     dpp = 1 if is_float else cfg.enc_data_per_pack
     dl, B = plan.dec_len, plan.num_blocks
@@ -170,16 +180,6 @@ def stage_words(packed: jnp.ndarray, cfg: DecoderConfig,
     Lw = wpb + wph
 
     blocks = overlapped_windows(packed, wpb, Lw, B)         # (B, Lw)
-
-    if B > 1 and plan.overlap_bits:
-        need = B * wpb + wph
-        if packed.shape[0] < need:
-            packed = jnp.concatenate(
-                [packed, jnp.zeros((need - packed.shape[0],),
-                                   packed.dtype)])
-        start_w = 2 * (plan.message_len - dl) // dpp
-        last = jax.lax.dynamic_slice(packed, (start_w,), (Lw,))
-        blocks = blocks.at[B - 1].set(last)
 
     if b_pad > B:
         blocks = jnp.concatenate(
@@ -440,16 +440,19 @@ def assemble_output(out_packs: jnp.ndarray, cfg: DecoderConfig,
                     plan: BlockPlan) -> jnp.ndarray:
     """(B, n_emit) per-block packs -> flat packed output words.
 
-    Blocks 0..B-2 contribute their full span; the last (left-shifted) block
-    contributes only its non-overlapping tail, so the decoded stream covers
+    Blocks 0..B-2 contribute their full span; the last block contributes
+    only its first dec_len - overlap_bits bits (the rest ran past
+    message_len into the zero-padded tail), so the decoded stream covers
     exactly [0, message_len) with the reference's bit<->pack mapping (MSB =
     earliest, main.cpp:160)."""
+    ov_words = plan.overlap_bits // plan.bits_per_pack
     if plan.num_blocks == 1:
-        words = out_packs[0]
+        n_emit = out_packs.shape[1]
+        words = out_packs[0, : n_emit - ov_words]
     else:
         head = out_packs[:-1].reshape(-1)
-        ov_words = plan.overlap_bits // plan.bits_per_pack
-        tail = out_packs[-1, ov_words:]
+        n_emit = out_packs.shape[1]
+        tail = out_packs[-1, : n_emit - ov_words]
         words = jnp.concatenate([head, tail])
     if plan.bits_per_pack == 16:
         return words.astype(jnp.uint16)

@@ -75,9 +75,21 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     halo_words = 2 * WARMUP // dpp
 
+    # one concat builds the decoder's full zero-copy input (local stream +
+    # neighbor halo + staging pad) — a second in-graph pad-concat inside
+    # decode_packed_pallas would copy the whole shard stream again
+    pad_words = 0
+    if use_pallas and cfg.channel_in != ChannelIn.FP32:
+        from ..decoder.core_pallas import padded_input_words
+        pad_words = max(0, padded_input_words(cfg, plan)
+                        - (local_words + halo_words))
+
     def local_decode(words_local):
         halo = jax.lax.ppermute(words_local[:halo_words], BLOCK_AXIS, perm)
-        words_full = jnp.concatenate([words_local, halo])
+        parts = [words_local, halo]
+        if pad_words:
+            parts.append(jnp.zeros((pad_words,), words_local.dtype))
+        words_full = jnp.concatenate(parts)
         # word-granular staging end to end on both backends (no lane-padded
         # soft intermediates — see core_xla.stage_layout_packed)
         if use_pallas:
