@@ -1,0 +1,67 @@
+"""Zero-copy roll-halo staging (r4): the fused kernel derives each
+block's halo from its right neighbor's body words by an in-kernel lane
+roll, with tile-edge lanes fed from the tiny static-slice edge input
+(core_pallas._body_and_edge / roll_halo=True).  These tests lock the
+structural hazards on the XLA-core oracle, in interpret mode (the exact
+production kernel program):
+
+  - multi-tile plans (the tile-edge lane's halo crosses into the next
+    tile's first block, exercising the edge input)
+  - the input-length contract: exact-length, pre-padded
+    (padded_input_words), and over-length streams must decode identically
+  - the partial tile-edge window (stream ends inside an edge slice)
+  - natural last-block framing with a discarded tail (overlap_bits > 0)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_viterbi.config import ChannelIn, DecoderConfig
+from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
+                                             padded_input_words)
+from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
+
+
+@pytest.mark.parametrize("channel,dec_len,n", [
+    (ChannelIn.SOFT8, 96, 20_000),    # 208 blocks -> 2 tiles, overlap 32
+    (ChannelIn.HARD, 64, 20_000),     # zero-word tail unpacks to -1
+    (ChannelIn.SOFT16, 64, 9_000),    # double-width words
+    (ChannelIn.FP32, 64, 9_000),      # u/d word mode rides the same path
+])
+def test_roll_staging_matches_xla_core(rng, channel, dec_len, n):
+    cfg = DecoderConfig(channel_in=channel)
+    m = cfg.get_message_len(2 * n)
+    plan = plan_blocks(m, 32, dec_len)
+    assert plan.num_blocks > 128, "must span >1 tile to exercise the edge"
+    assert dec_len >= 64, "roll path requires dec_len >= WARMUP"
+    w = cfg.get_input_words(2 * n)
+    if channel == ChannelIn.FP32:
+        packed = jnp.asarray(rng.standard_normal(w) * 6, jnp.float32)
+    else:
+        packed = jnp.asarray(
+            rng.integers(-2 ** 31, 2 ** 31, size=w), jnp.int32)
+    want = np.asarray(decode_packed_xla(packed, cfg, plan))
+    got = np.asarray(decode_packed_pallas(packed, cfg, plan,
+                                          interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_roll_staging_pad_contract(rng):
+    """Exact-length, zero-copy-padded, and over-padded inputs decode
+    identically (padded_input_words is advisory, never semantic)."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    n = 20_000
+    m = cfg.get_message_len(2 * n)
+    plan = plan_blocks(m, 32, 96)
+    w = cfg.get_input_words(2 * n)
+    packed = jnp.asarray(rng.integers(-2 ** 31, 2 ** 31, size=w), jnp.int32)
+    want = np.asarray(decode_packed_xla(packed, cfg, plan))
+    pw = padded_input_words(cfg, plan)
+    assert pw > w
+    for length in (w, w + 7, pw, pw + 17):
+        x = packed if length == w else jnp.concatenate(
+            [packed, jnp.zeros((length - w,), jnp.int32)])
+        got = np.asarray(decode_packed_pallas(x, cfg, plan,
+                                              interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"len={length}")

@@ -79,10 +79,12 @@ def test_window_b16_output(rng):
 def test_window_frees_vmem():
     """The windowed survivor store must decouple VMEM from dec_len: at the
     bench config (SOFT8, dec_len 8192) the full store is ~8.5 MiB and the
-    window is n_conv+2 = 3 slots = 96 KiB — enabling dec_len 8192 for
-    SOFT16 and lane_tile 256 (VERDICT r2 items 4-5)."""
+    window is n_conv+3 = 4 slots = 128 KiB — enabling dec_len 8192 for
+    SOFT16 and lane_tile 256 (VERDICT r2 items 4-5; the r4 +1 slot gives
+    every emitted pack >= 64 merged stages, fixing the measured ~3x BER
+    penalty of the 32-stage chase — see survivor_window_slots)."""
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    assert survivor_window_slots(cfg) == 3      # == reference forwardLen/bpp
+    assert survivor_window_slots(cfg) == 4
     plan = plan_blocks(32_000_000 - 64, 32, 8192)
     full = vmem_footprint_bytes(cfg, plan, window=False)
     win = vmem_footprint_bytes(cfg, plan, window=True)

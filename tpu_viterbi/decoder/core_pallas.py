@@ -273,12 +273,21 @@ def _write_cat(e, o, write):
 
 def survivor_window_slots(cfg: DecoderConfig) -> int:
     """Circular survivor slots for the windowed kernel: the per-slide
-    traceback reads slots p .. p-n_conv while slot p+1-W is being freed
-    for the next dump, so W = n_conv + 2 (the TPU sizing of the
-    reference's forwardLen/bpp-deep one-pointer buffer, viterbi.cu:99-100;
-    3 slots at bpp=32, exactly the reference's 96/32)."""
+    traceback reads slots p .. p-(n_conv+1) while the oldest slot is
+    being freed for the next dump, so W = n_conv + 3 (the TPU sizing of
+    the reference's forwardLen/bpp-deep one-pointer buffer,
+    viterbi.cu:99-100).
+
+    The +1 over r3's sizing is a BER fix (r4): a fresh per-slide chase
+    discarding only n_conv packs truncates EVERY emitted pack at
+    n_conv*bpp = 32 stages — below the extra_r = 38 design depth — and
+    measured ~3x the error count of the full-survivor store at 32M/
+    SNR 1.125 (BEN 347 vs 95, scripts note in BASELINE.md).  One extra
+    discard pack gives every emitted pack >= 64 merged stages (the top
+    pack, which has no deeper history by framing, keeps n_conv — exactly
+    the full store's profile) and restores full-store BER."""
     bpp = cfg.bits_per_pack
-    return -(-(cfg.extra_r - bpp) // bpp) + 2
+    return -(-(cfg.extra_r - bpp) // bpp) + 3
 
 
 def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
@@ -296,17 +305,18 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     window=True: the reference's one-pointer circular survivor buffer
     (viterbi.cu:99-100,154; write index stage % forwardLen,
     viterbiACS.cuh:460; consumed by viterbiTB.cuh:4-21) — surv_ref has
-    only n_conv + 2 slots, written at p % W, and every pack interleaves a
-    FRESH traceback into the ACS loop: state 0, chase n_conv discard
-    packs, emit one pack (the reference's per-slide traceback with
-    extraR-bpp discard stages rounded up to whole packs).  Survivor VMEM
-    drops from O(dec_len) to O(extra_r) per block — the >1000x traceback
-    memory claim of README.md:18 — decoupling dec_len/lane_tile from the
-    VMEM budget.  The fresh chase can in principle emit different bits
-    than the continuous chase when paths have not merged within
-    n_conv*bpp stages (the reference accepts the same truncation at depth
-    extraR); tests lock bit-equality on coded inputs and statistical
-    equality on noise (tests/test_survivor_window.py)."""
+    only n_conv + 3 slots, written at p % W, and every pack interleaves a
+    FRESH traceback into the ACS loop: state 0, chase n_conv + 1 discard
+    packs (>= 64 merged stages — r3's n_conv-deep chase truncated at 32
+    stages, below the extra_r = 38 design, and measured ~3x full-store
+    BEN at 32M; see survivor_window_slots), emit one pack.  The top
+    emitted pack, which has no deeper history by framing, is emitted
+    after the loop at depth n_conv — exactly the full store's truncation
+    profile.  Survivor VMEM drops from O(dec_len) to O(extra_r) per
+    block — the >1000x traceback memory claim of README.md:18 —
+    decoupling dec_len/lane_tile from the VMEM budget.  Bit-equality with
+    the full store on coded inputs and statistical equality on noise are
+    locked by tests/test_survivor_window.py."""
     lt = out_ref.shape[1]
     assert bpp % GROUP_LEN == 0
     pack_mask = jnp.int32(-1 if bpp == 32 else 0xFFFF)
@@ -327,7 +337,8 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
 
     emit_lo = n_packs - n_conv - n_emit         # lowest pack index emitted
-    W = n_conv + 2
+    n_disc = n_conv + 1                         # window-mode chase depth
+    W = n_disc + 2
 
     def _chase(slot_pack, state):
         """Register-exchange step: gather the survivor pack of `state`
@@ -398,15 +409,17 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         if window:
             surv_ref[jax.lax.rem(p, W)] = pp & pack_mask
             # per-slide fresh traceback (reference viterbiTB.cuh:4-21)
-            @pl.when(p - n_conv >= emit_lo)
+            # p <= n_packs-1 bounds the emitted pack at emit_lo+n_emit-2;
+            # the top pack is emitted after the loop at depth n_conv
+            @pl.when(p - n_disc >= emit_lo)
             def _():
                 state = jnp.zeros((1, lt), jnp.int32)
-                for t in range(n_conv):         # discard packs
+                for t in range(n_disc):         # discard packs
                     _, state = _chase(surv_ref[jax.lax.rem(p - t, W)],
                                       state)
-                pack, _ = _chase(surv_ref[jax.lax.rem(p - n_conv, W)],
+                pack, _ = _chase(surv_ref[jax.lax.rem(p - n_disc, W)],
                                  state)
-                out_ref[pl.ds(p - n_conv - emit_lo, 1), :] = pack
+                out_ref[pl.ds(p - n_disc - emit_lo, 1), :] = pack
         else:
             surv_ref[p] = pp & pack_mask        # survivor-pack dump
         if renorm:
@@ -424,6 +437,14 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     zeros = jnp.zeros((NUM_STATES, lt), jnp.int32)
     jax.lax.fori_loop(0, n_packs, pack_body, (zeros, zeros))
     if window:
+        # top emitted pack: no deeper history exists by framing, so it is
+        # chased at depth n_conv — the full store's exact profile
+        top = n_packs - 1
+        state = jnp.zeros((1, lt), jnp.int32)
+        for t in range(n_conv):
+            _, state = _chase(surv_ref[(top - t) % W], state)
+        pack, _ = _chase(surv_ref[(top - n_conv) % W], state)
+        out_ref[pl.ds(n_emit - 1, 1), :] = pack
         return
 
     # ---- traceback (pack-granular register-exchange state chase) ----
