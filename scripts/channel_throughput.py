@@ -54,8 +54,14 @@ def measure(channel_name, message_len, snr_db=5.5):
     input_num = 2 * message_len
     m = cfg.get_message_len(input_num)
 
+    # FP32's fused VALUE kernel (r4: raw f32 wire, no staging chain) needs
+    # dec_len <= 2048 with the full survivor store; it measures 35.1 vs
+    # the u/d-word path's 37.6 ns/stage at 8192 (same session,
+    # scripts/fp32_fused_value_probe.py) — so FP32 tries 2048 first
+    cand_lens = ((2048, 8192, 4096, 1024) if channel == ChannelIn.FP32
+                 else (8192, 4096, 2048, 1024))
     plan = None
-    for dec_len in (8192, 4096, 2048, 1024):
+    for dec_len in cand_lens:
         cand = plan_blocks(m, cfg.bits_per_pack, dec_len)
         if pallas_supported(cfg, cand):
             plan = cand

@@ -18,6 +18,18 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_viterbi.config import ChannelIn, DecoderConfig
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compiler_state():
+    """These interpret-mode kernels compile to very large CPU HLO graphs;
+    with a long pytest process' worth of live executables the XLA CPU
+    compiler can SEGFAULT (the test_word_mode_golden.py failure class —
+    a full-suite run died after this file was added while solo runs
+    pass).  Drop the jit caches before each case."""
+    import jax
+    jax.clear_caches()
+    yield
 from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
                                              padded_input_words)
 from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks

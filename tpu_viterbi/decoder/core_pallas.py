@@ -85,7 +85,8 @@ def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
                          lane_tile: int = LANE_TILE,
                          fused: bool = True,
                          value_mode: bool = False,
-                         window: bool = False) -> int:
+                         window: bool = False,
+                         f32_values: bool = False) -> int:
     """Static VMEM bytes one kernel program needs under this plan: the
     survivor scratch, the (double-buffered) input/output grid blocks, and
     in fused word mode the word-major scratch.  Used to reject plans that
@@ -102,6 +103,12 @@ def vmem_footprint_bytes(cfg: DecoderConfig, plan: BlockPlan,
         # legacy FP32 two-stream value staging (fp32_words=False)
         rs = 2 * n_packs * bpp * 2 * lane_tile * 4
         return surv + out + rs
+    if f32_values:
+        # fused f32 VALUE mode: raw interleaved floats enter the kernel
+        # (double-buffered (lane_tile, 2*dec_len) f32 blocks) and the
+        # in-VMEM transpose scratch holds (n_packs, 2*bpp) f32 rows
+        vals = n_packs * 2 * bpp * lane_tile * 4
+        return surv + out + vals + 2 * 2 * plan.dec_len * lane_tile * 4
     # FP32 default rides u/d word mode: 4 8-bit fields per word, like SOFT8
     dpp = 4 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     words_per_block = (2 * plan.dec_len + 2 * WARMUP) // dpp
@@ -642,6 +649,88 @@ def _viterbi_kernel_fused(body_ref, halo_ref, out_ref, surv_ref, words_ref,
                     window=window, s16=s16)
 
 
+def _viterbi_kernel_fused_f32v(body_ref, edge_ref, out_ref, surv_ref,
+                               vals_ref, *, n_packs, bpp, n_conv, n_emit,
+                               window=False):
+    """Fused FP32 VALUE kernel: the raw interleaved f32 wire enters
+    block-major through the zero-copy staging (bitcast body + roll halo,
+    exactly like _viterbi_kernel_fused) and clip + u/d run in-kernel on
+    adjacent sublane rows of the VMEM transpose — no deinterleave exists.
+
+    This replaces the u/d-word staging chain (clip -> one-hot deinterleave
+    -> trunc -> pack: several full-size HBM intermediates that dots force
+    XLA to materialize) for plans whose f32 value blocks fit VMEM;
+    measured 37.6 -> 35.1-35.7 ns/stage at 32M (same session,
+    scripts/fp32_fused_value_probe.py).  Branch metrics are bit-identical
+    to the u/d-word path: _decode_core's float path computes
+    trunc((r0 +- r1) * sign) and trunc is odd (fp32_ud_words exactness
+    argument, core_xla.py)."""
+    from ..config import FP_PRECISION
+    lo = jnp.float32(-(1 << (FP_PRECISION - 1)))
+    hi = jnp.float32((1 << (FP_PRECISION - 1)) - 1)
+    lt = out_ref.shape[1]
+    vpp = vals_ref.shape[1]                  # 2*bpp values per pack
+    nb = body_ref.shape[1] // vpp
+    nh = n_packs - nb
+    vals_ref[:nb] = body_ref[...].T.reshape(nb, vpp, lt)
+    edge_col = edge_ref[0].T                 # (128, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (vpp, lt), 1)
+    for j in range(nh):
+        rolled = pltpu.roll(vals_ref[j], lt - 1, 1)
+        vals_ref[nb + j] = jnp.where(
+            lane == lt - 1, edge_col[j * vpp:(j + 1) * vpp], rolled)
+
+    def make_ud(p):
+        rp = jnp.clip(vals_ref[p], lo, hi)   # (2*bpp, LT) f32
+
+        def ud(s):
+            r0 = rp[2 * s: 2 * s + 1]
+            r1 = rp[2 * s + 1: 2 * s + 2]
+            return r0 + r1, r0 - r1
+        return ud
+
+    _decode_core(make_ud, out_ref, surv_ref, n_packs=n_packs, bpp=bpp,
+                 n_conv=n_conv, n_emit=n_emit, is_float=True,
+                 renorm=False, window=window)
+
+
+def _run_kernel_fused_f32v(vals: jnp.ndarray, cfg: DecoderConfig,
+                           plan: BlockPlan, lane_tile: int,
+                           interpret: bool = False,
+                           window: bool = False) -> jnp.ndarray:
+    """Raw interleaved f32 channel values -> packed output words via the
+    fused value kernel, zero-copy staged (dpp=1 'words' = the values)."""
+    bpp = plan.bits_per_pack
+    n_packs = plan.n_packs
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)
+    n_emit = plan.dec_len // bpp
+    b_pad = -(-plan.num_blocks // lane_tile) * lane_tile
+    body, edge = _body_and_edge(vals, cfg, plan, b_pad, lane_tile, dpp=1)
+    kernel = functools.partial(_viterbi_kernel_fused_f32v, n_packs=n_packs,
+                               bpp=bpp, n_conv=n_conv, n_emit=n_emit,
+                               window=window)
+    surv_slots = survivor_window_slots(cfg) if window else n_packs
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // lane_tile,),
+        in_specs=[pl.BlockSpec((lane_tile, body.shape[1]),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_emit, lane_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_emit, b_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((surv_slots, NUM_STATES, lane_tile),
+                                   jnp.int32),
+                        pltpu.VMEM((n_packs, 2 * bpp, lane_tile),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(body, edge)
+
+    out_packs = out.transpose(1, 0)[:plan.num_blocks].view(jnp.uint32)
+    return assemble_output(out_packs, cfg, plan)
+
+
 def _block_major_words(packed: jnp.ndarray, cfg: DecoderConfig,
                        plan: BlockPlan, b_pad: int, dpp: int = 0):
     """Packed channel words -> (body (b_pad, wpb), halo (b_pad, wph))
@@ -1020,6 +1109,16 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
     roll = plan.dec_len >= WARMUP
     if is_float:
         if fp32_words:
+            # fastest: the fused VALUE kernel (raw f32 wire, zero-copy
+            # staging, clip+u/d in-kernel) when its f32 blocks fit VMEM
+            # (dec_len <= ~4096 windowed / 2048 full); else the u/d-word
+            # staging (supports any dec_len at SOFT8-like VMEM cost)
+            if roll and vmem_footprint_bytes(
+                    cfg, plan, lane_tile, window=window,
+                    f32_values=True) <= VMEM_BUDGET_BYTES:
+                return _run_kernel_fused_f32v(
+                    packed.astype(jnp.float32), cfg, plan, lane_tile,
+                    interpret, window=window)
             from .core_xla import fp32_ud_words
             udw = fp32_ud_words(packed.astype(jnp.float32))
             if roll:
