@@ -77,3 +77,27 @@ def test_roll_staging_pad_contract(rng):
         got = np.asarray(decode_packed_pallas(x, cfg, plan,
                                               interpret=True))
         np.testing.assert_array_equal(got, want, err_msg=f"len={length}")
+
+
+def test_tail_halo_matches_concat(rng):
+    """The sharded zero-copy path delivers the cross-device halo via the
+    tile-edge side input (decode_packed_pallas tail_halo) instead of
+    concatenating it onto the shard stream — must be bit-identical to
+    decoding the concatenated stream (sharding/blocks.py aligned path)."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    dl = 64
+    B = 256                                # 2 tiles, lane_tile multiple
+    m = B * dl
+    plan = plan_blocks(m, 32, dl)
+    assert plan.num_blocks == B
+    wpb = 2 * dl // cfg.enc_data_per_pack
+    wph = 2 * 64 // cfg.enc_data_per_pack
+    words = jnp.asarray(rng.integers(-2 ** 31, 2 ** 31, size=B * wpb),
+                        jnp.int32)
+    halo = jnp.asarray(rng.integers(-2 ** 31, 2 ** 31, size=wph),
+                       jnp.int32)
+    want = np.asarray(decode_packed_pallas(
+        jnp.concatenate([words, halo]), cfg, plan, interpret=True))
+    got = np.asarray(decode_packed_pallas(words, cfg, plan, interpret=True,
+                                          tail_halo=halo))
+    np.testing.assert_array_equal(got, want)

@@ -778,7 +778,7 @@ def padded_input_words(cfg: DecoderConfig, plan: BlockPlan,
 
 def _body_and_edge(packed: jnp.ndarray, cfg: DecoderConfig,
                    plan: BlockPlan, b_pad: int, lane_tile: int,
-                   dpp: int = 0):
+                   dpp: int = 0, tail_halo=None):
     """Zero-copy staging for the roll-halo fused kernel: the body is a
     bitcast reshape of the (padded) stream — no staging data movement at
     all — and the per-block halo is derived IN-KERNEL from the body
@@ -792,7 +792,15 @@ def _body_and_edge(packed: jnp.ndarray, cfg: DecoderConfig,
     view is an offset slice XLA must copy (a full-stream copy: +0.5 ms =
     ~2 ns/stage at the 32M SOFT8 bench config, scripts/staging_cost.py).
     Requires wph <= wpb (dec_len >= 64) so the halo lies within one
-    neighbor block."""
+    neighbor block.
+
+    tail_halo: optional (wph,) words logically following the stream —
+    placed into the LAST tile's edge row, which is where the final
+    block's halo comes from when the stream ends exactly at a tile
+    boundary (requires num_blocks == b_pad, i.e. the block count is a
+    lane_tile multiple).  This is how the sharded decoder's ppermute'd
+    cross-device halo rides the zero-copy staging with no concat of the
+    shard stream (sharding/blocks.py aligned path)."""
     dpp = dpp or cfg.enc_data_per_pack
     wpb = 2 * plan.dec_len // dpp
     wph = 2 * WARMUP // dpp
@@ -815,7 +823,11 @@ def _body_and_edge(packed: jnp.ndarray, cfg: DecoderConfig,
     rows = []
     for i in range(tiles):
         a = (i + 1) * span
-        if a + wph <= n_have:
+        if tail_halo is not None and i == tiles - 1:
+            assert b_pad == plan.num_blocks, \
+                "tail_halo requires num_blocks to be a lane_tile multiple"
+            rows.append(tail_halo.astype(packed.dtype))
+        elif a + wph <= n_have:
             rows.append(jax.lax.slice(packed, (a,), (a + wph,)))
         elif a < n_have:        # stream ends inside this window (<=1 row)
             part = jax.lax.slice(packed, (a,), (n_have,))
@@ -1082,7 +1094,8 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                          interpret: bool = False,
                          fp32_words: bool = True,
                          window: bool = False,
-                         s16: str = "pack") -> jnp.ndarray:
+                         s16: str = "pack",
+                         tail_halo=None) -> jnp.ndarray:
     """Full decode straight from packed channel words (the ViterbiCUDA::run
     input format, viterbi.cu:211-238) via the fused Pallas kernel.  This is
     the production large-message entry point.
@@ -1137,10 +1150,14 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
                                          plan, b_pad)
         return _run_kernel_f32_2s(rs0, rs1, cfg, plan, lane_tile, interpret,
                                   window=window)
+    if tail_halo is not None and not (fused and roll and not is_float):
+        raise ValueError("tail_halo requires the fused roll-halo integer "
+                         "path (dec_len >= 64, fused=True)")
     if fused:
         if roll:
             body, edge = _body_and_edge(packed.astype(jnp.int32), cfg,
-                                        plan, b_pad, lane_tile)
+                                        plan, b_pad, lane_tile,
+                                        tail_halo=tail_halo)
             return _run_kernel_fused(body, edge, cfg, plan, lane_tile,
                                      interpret, window=window, s16=s16,
                                      roll_halo=True)

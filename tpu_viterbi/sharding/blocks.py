@@ -29,11 +29,21 @@ from .mesh import BLOCK_AXIS
 
 
 def sharded_stage_count(total_stages: int, num_devices: int,
-                        bits_per_pack: int) -> int:
+                        bits_per_pack: int, align: int = 0,
+                        max_pad_num: int = 32) -> int:
     """Stages per device: total padded up so each shard is a whole number of
-    packs and of packed input words for every channel type (lcm 32)."""
+    packs and of packed input words for every channel type (lcm 32).
+
+    align: additionally round the shard up to this stage multiple when the
+    global padding stays under total/max_pad_num — used to hit the
+    zero-copy aligned decode path (shard blocks a lane_tile multiple, see
+    build_sharded_decoder)."""
     per = -(-total_stages // num_devices)
     per = -(-per // 32) * 32
+    if align:
+        per_a = -(-per // align) * align
+        if per_a * num_devices <= total_stages + total_stages // max_pad_num:
+            per = per_a
     return per
 
 
@@ -75,17 +85,29 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     halo_words = 2 * WARMUP // dpp
 
-    # one concat builds the decoder's full zero-copy input (local stream +
-    # neighbor halo + staging pad) — a second in-graph pad-concat inside
-    # decode_packed_pallas would copy the whole shard stream again
+    # Zero-copy aligned path: when the shard's block count is a lane_tile
+    # multiple (sd % (128 * dec_len) == 0, see sharded_stage_count's
+    # align knob) the local stream IS the kernel's bitcast body and the
+    # ppermute'd neighbor halo rides the tile-edge side input
+    # (decode_packed_pallas tail_halo) — ZERO copies of the shard stream.
+    # Otherwise one concat builds the decoder's full input (local stream +
+    # halo + staging pad) — folding the pad in here keeps it to a single
+    # copy instead of a second pad-concat inside decode_packed_pallas.
+    from ..decoder.core_pallas import LANE_TILE
+    aligned = (use_pallas and cfg.channel_in != ChannelIn.FP32
+               and plan.dec_len >= 64
+               and sd % (LANE_TILE * plan.dec_len) == 0)
     pad_words = 0
-    if use_pallas and cfg.channel_in != ChannelIn.FP32:
+    if use_pallas and cfg.channel_in != ChannelIn.FP32 and not aligned:
         from ..decoder.core_pallas import padded_input_words
         pad_words = max(0, padded_input_words(cfg, plan)
                         - (local_words + halo_words))
 
     def local_decode(words_local):
         halo = jax.lax.ppermute(words_local[:halo_words], BLOCK_AXIS, perm)
+        if aligned:
+            return decode_packed_pallas(words_local, cfg, plan,
+                                        window=win, tail_halo=halo)
         parts = [words_local, halo]
         if pad_words:
             parts.append(jnp.zeros((pad_words,), words_local.dtype))
@@ -114,7 +136,9 @@ def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
     (packed_output_words, message_len)."""
     num_devices = mesh.shape[BLOCK_AXIS]
     total_stages = input_num // 2
-    sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack)
+    # align to lane_tile*dec_len blocks when cheap -> zero-copy decode path
+    sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack,
+                             align=128 * dec_len)
     padded_stages = sd * num_devices
     words_needed = padded_stages * 2 // cfg.enc_data_per_pack
 

@@ -107,6 +107,7 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     if generator not in ("pallas", "xla"):
         raise ValueError(f"unknown generator {generator!r} "
                          "(expected 'auto', 'pallas' or 'xla')")
+    from ..chain.genkernel import generator_span_stages
     if generator == "pallas":
         # align each device's decode span to the generator's program
         # granularity when the padding stays negligible (<= 1/8 extra
@@ -114,10 +115,22 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
         # input, so no pad/slice of a block-sharded stream — and no hidden
         # cross-device reshard inside the jitted sim (ADVICE r1).  Tiny
         # runs (CI shapes) keep the unaligned span + slice.
-        from ..chain.genkernel import generator_span_stages
         g = generator_span_stages(cfg.channel_in)
         sd_al = -(-sd // g) * g
         if sd_al * num_devices <= total_stages + total_stages // 8:
+            sd = sd_al
+    # further alignment to lane_tile*dec_len blocks hits the fully
+    # zero-copy decode path (the shard stream is the kernel's bitcast
+    # body, the ppermute halo rides the tile-edge input — blocks.py);
+    # only when compatible with the generator granularity
+    al = 128 * dec_len
+    if generator != "pallas" or al % generator_span_stages(
+            cfg.channel_in) == 0:
+        sd_al = -(-sd // al) * al
+        # tighter gate than the generator alignment: the decode/generate
+        # work grows with the pad, so it must stay well under the saved
+        # concat copy (~3%)
+        if sd_al * num_devices <= total_stages + total_stages // 32:
             sd = sd_al
 
     decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
