@@ -104,11 +104,13 @@ def test_resolve_window_policy():
     assert resolve_window("auto", cfg16, p8192) is True
     with pytest.raises(ValueError, match="survivor"):
         resolve_window("circular", cfg8, p8192)
-    # window depth: n_conv + 3 (the r4 +1 chase pack gives every emitted
-    # pack >= 64 merged stages; the 32-stage chase measured ~3x BER —
-    # survivor_window_slots docstring / BASELINE.md)
-    assert survivor_window_slots(cfg8) == 4
+    # window depth: chase max(n_conv+1, ceil(64/bpp)) packs + 2 slots —
+    # every emitted pack gets >= WINDOW_MIN_CHASE_STAGES = 64 merged
+    # stages at EVERY bpp (the 32-stage chase measured ~3x BER; at bpp=16
+    # n_conv+1 packs alone would give only 48 stages — survivor_window_
+    # slots docstring / BASELINE.md)
+    assert survivor_window_slots(cfg8) == 4       # max(2, 2) + 2
     from tpu_viterbi.config import DecodeOut
     cfg16out = DecoderConfig(channel_in=ChannelIn.SOFT8,
                              decode_out=DecodeOut.O_B16)
-    assert survivor_window_slots(cfg16out) == 5   # n_conv=2 at bpp=16
+    assert survivor_window_slots(cfg16out) == 6   # max(3, 4) + 2

@@ -32,3 +32,32 @@ def test_kernel_interpret_matches_golden(rng, decode_out, dec_len, b):
         want = golden_decode_block(
             r[off:off + plan.block_len].astype(np.int64), dec_len)
         assert np.array_equal(bits[off:off + dec_len], want), f"block {k}"
+
+
+def test_soft16_unpack_layouts(rng):
+    """The four SOFT16 per-stage unpack structures (s16= kwarg:
+    pack/halves/lazy/group — measured identical on chip by
+    scripts/soft16_fix.py) must decode BIT-identically: same adds on the
+    same sign-extended fields, different slicing only.  Locks the
+    alternate unpack branches of _viterbi_kernel (core_pallas.py) in CI
+    so the on-chip 'all layouts identical' conclusion stays auditable."""
+    import jax
+
+    from tpu_viterbi.decoder.core_pallas import decode_packed_pallas
+
+    jax.clear_caches()   # big interpret HLO graphs; see test_word_mode_golden
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT16)
+    bpp = cfg.bits_per_pack
+    dec_len, message_len = 2 * bpp, 5 * bpp   # left-shifted last block
+    plan = plan_blocks(message_len, bpp, dec_len)
+    n_vals = 2 * (message_len + 64)
+    words = rng.integers(-2 ** 31, 2 ** 31,
+                         size=(n_vals // cfg.enc_data_per_pack,)) \
+        .astype(np.int32)
+
+    outs = {
+        lay: np.asarray(decode_packed_pallas(jnp.asarray(words), cfg, plan,
+                                             interpret=True, s16=lay))
+        for lay in ("pack", "halves", "lazy", "group")}
+    for lay in ("halves", "lazy", "group"):
+        assert np.array_equal(outs[lay], outs["pack"]), lay

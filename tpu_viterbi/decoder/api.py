@@ -146,6 +146,7 @@ class ViterbiTPU:
     _input_num: Optional[int] = None
     _exec = None
     _exp_words: int = 0
+    _EXEC_CACHE_SIZE = 8   # compiled sizes kept per instance (LRU)
 
     def _input_dtype(self):
         return (jnp.float32 if self.config.channel_in == ChannelIn.FP32
@@ -160,12 +161,18 @@ class ViterbiTPU:
         PER input size (keyed dict), so alternating sizes never re-lower or
         recompile (VERDICT r3 item 4; the reference's single pre-alloc,
         viterbi.cu:31-36, covers one size — this covers every size seen)."""
-        ent = self._exec_cache.get(input_num)
+        ent = self._exec_cache.pop(input_num, None)
         if ent is None:
             fn, plan, exp_words = self._build(input_num)
             aval = jax.ShapeDtypeStruct((exp_words,), self._input_dtype())
             ent = (fn, plan, exp_words, fn.lower(aval).compile())
-            self._exec_cache[input_num] = ent
+            # Bounded LRU: compiled executables pin device memory, so a
+            # long-lived instance fed many distinct sizes must not retain
+            # one per size forever — evict the least recently used beyond
+            # _EXEC_CACHE_SIZE (re-inserting below marks this one newest).
+            while len(self._exec_cache) >= self._EXEC_CACHE_SIZE:
+                self._exec_cache.pop(next(iter(self._exec_cache)))
+        self._exec_cache[input_num] = ent
         self._decode_fn, self._plan, self._exp_words, self._exec = ent
         self._input_num = input_num
 

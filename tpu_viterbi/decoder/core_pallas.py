@@ -75,6 +75,14 @@ LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 # to the XLA core instead of surfacing as a raw compile failure.
 VMEM_BUDGET_BYTES = 16 * 10 ** 6
 
+# Minimum merged-history depth (in ACS stages) of the windowed-survivor
+# per-slide chase: the r4 BER A/B (32M bits, SNR 1.125 dB) validated the
+# windowed path at 64 discarded stages per emitted pack — a 32-stage chase
+# measured ~3x the full-store error count (BASELINE.md r4 note).  The
+# chase depth in packs is max(n_conv + 1, ceil(64 / bpp)) so bpp=16 plans
+# meet the same stage floor (n_conv+1 packs alone would give only 48).
+WINDOW_MIN_CHASE_STAGES = 64
+
 # Low-6-bit tap masks of the reversed polynomials (see trellis.py):
 # out_k(window) = parity(window & mask_k); window = state for the j=0 branch.
 _TAP_MASK0 = 0o117 & 63
@@ -280,21 +288,25 @@ def _write_cat(e, o, write):
 
 def survivor_window_slots(cfg: DecoderConfig) -> int:
     """Circular survivor slots for the windowed kernel: the per-slide
-    traceback reads slots p .. p-(n_conv+1) while the oldest slot is
-    being freed for the next dump, so W = n_conv + 3 (the TPU sizing of
-    the reference's forwardLen/bpp-deep one-pointer buffer,
-    viterbi.cu:99-100).
+    traceback reads slots p .. p-n_disc while the oldest slot is being
+    freed for the next dump, so W = n_disc + 2 (the TPU sizing of the
+    reference's forwardLen/bpp-deep one-pointer buffer,
+    viterbi.cu:99-100), with n_disc = the window chase depth in packs.
 
-    The +1 over r3's sizing is a BER fix (r4): a fresh per-slide chase
-    discarding only n_conv packs truncates EVERY emitted pack at
-    n_conv*bpp = 32 stages — below the extra_r = 38 design depth — and
-    measured ~3x the error count of the full-survivor store at 32M/
-    SNR 1.125 (BEN 347 vs 95, scripts note in BASELINE.md).  One extra
-    discard pack gives every emitted pack >= 64 merged stages (the top
-    pack, which has no deeper history by framing, keeps n_conv — exactly
-    the full store's profile) and restores full-store BER."""
+    The chase depth is max(n_conv + 1, ceil(64 / bpp)) discard packs
+    (WINDOW_MIN_CHASE_STAGES).  The extra packs over r3's n_conv are a
+    BER fix (r4): a fresh per-slide chase discarding only n_conv packs
+    truncates EVERY emitted pack at n_conv*bpp = 32 stages — below the
+    extra_r = 38 design depth — and measured ~3x the error count of the
+    full-survivor store at 32M/SNR 1.125 (BEN 347 vs 95, scripts note in
+    BASELINE.md).  The floor is expressed in STAGES so bpp=16 plans get
+    the same >= 64 merged stages the A/B validated at bpp=32 (n_conv+1
+    packs alone would give only 48 there).  The top emitted packs, which
+    have less history by framing, are chased at their full available
+    depth >= n_conv — the full store's profile."""
     bpp = cfg.bits_per_pack
-    return -(-(cfg.extra_r - bpp) // bpp) + 3
+    n_conv = -(-(cfg.extra_r - bpp) // bpp)
+    return max(n_conv + 1, -(-WINDOW_MIN_CHASE_STAGES // bpp)) + 2
 
 
 def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
@@ -312,13 +324,14 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     window=True: the reference's one-pointer circular survivor buffer
     (viterbi.cu:99-100,154; write index stage % forwardLen,
     viterbiACS.cuh:460; consumed by viterbiTB.cuh:4-21) — surv_ref has
-    only n_conv + 3 slots, written at p % W, and every pack interleaves a
-    FRESH traceback into the ACS loop: state 0, chase n_conv + 1 discard
-    packs (>= 64 merged stages — r3's n_conv-deep chase truncated at 32
-    stages, below the extra_r = 38 design, and measured ~3x full-store
-    BEN at 32M; see survivor_window_slots), emit one pack.  The top
-    emitted pack, which has no deeper history by framing, is emitted
-    after the loop at depth n_conv — exactly the full store's truncation
+    only n_disc + 2 slots (survivor_window_slots), written at p % W, and
+    every pack interleaves a FRESH traceback into the ACS loop: state 0,
+    chase n_disc discard packs (>= WINDOW_MIN_CHASE_STAGES = 64 merged
+    stages at every bpp — r3's n_conv-deep chase truncated at 32 stages,
+    below the extra_r = 38 design, and measured ~3x full-store BEN at
+    32M), emit one pack.  The top emitted packs, which have less history
+    by framing, are emitted after the loop at their full available depth
+    >= n_conv — the topmost exactly at the full store's truncation
     profile.  Survivor VMEM drops from O(dec_len) to O(extra_r) per
     block — the >1000x traceback memory claim of README.md:18 —
     decoupling dec_len/lane_tile from the VMEM budget.  Bit-equality with
@@ -344,7 +357,9 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
 
     emit_lo = n_packs - n_conv - n_emit         # lowest pack index emitted
-    n_disc = n_conv + 1                         # window-mode chase depth
+    # window-mode chase depth in packs: >= WINDOW_MIN_CHASE_STAGES stages
+    # (the r4 BER-validated floor; survivor_window_slots sizes W to match)
+    n_disc = max(n_conv + 1, -(-WINDOW_MIN_CHASE_STAGES // bpp))
     W = n_disc + 2
 
     def _chase(slot_pack, state):
@@ -416,8 +431,9 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         if window:
             surv_ref[jax.lax.rem(p, W)] = pp & pack_mask
             # per-slide fresh traceback (reference viterbiTB.cuh:4-21)
-            # p <= n_packs-1 bounds the emitted pack at emit_lo+n_emit-2;
-            # the top pack is emitted after the loop at depth n_conv
+            # p <= n_packs-1 bounds the in-loop emitted pack at
+            # n_packs-1-n_disc; the n_disc-n_conv packs above it are
+            # emitted after the loop at their full available depth
             @pl.when(p - n_disc >= emit_lo)
             def _():
                 state = jnp.zeros((1, lt), jnp.int32)
@@ -444,14 +460,20 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
     zeros = jnp.zeros((NUM_STATES, lt), jnp.int32)
     jax.lax.fori_loop(0, n_packs, pack_body, (zeros, zeros))
     if window:
-        # top emitted pack: no deeper history exists by framing, so it is
-        # chased at depth n_conv — the full store's exact profile
-        top = n_packs - 1
-        state = jnp.zeros((1, lt), jnp.int32)
-        for t in range(n_conv):
-            _, state = _chase(surv_ref[(top - t) % W], state)
-        pack, _ = _chase(surv_ref[(top - n_conv) % W], state)
-        out_ref[pl.ds(n_emit - 1, 1), :] = pack
+        # top emitted packs (q > n_packs-1-n_disc): fewer than n_disc
+        # packs of history exist above them by framing, so each is chased
+        # at its full available depth n_packs-1-q (>= n_conv, the design
+        # depth) — the topmost pack keeps exactly the full store's
+        # truncation profile.  All read packs are within the last W-1
+        # written slots.
+        for q in range(max(emit_lo, n_packs - n_disc),
+                       n_packs - n_conv):
+            depth = n_packs - 1 - q
+            state = jnp.zeros((1, lt), jnp.int32)
+            for t in range(depth):
+                _, state = _chase(surv_ref[(n_packs - 1 - t) % W], state)
+            pack, _ = _chase(surv_ref[q % W], state)
+            out_ref[pl.ds(q - emit_lo, 1), :] = pack
         return
 
     # ---- traceback (pack-granular register-exchange state chase) ----

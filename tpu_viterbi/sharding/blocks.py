@@ -47,6 +47,18 @@ def sharded_stage_count(total_stages: int, num_devices: int,
     return per
 
 
+def zero_copy_align_stages(cfg: DecoderConfig, dec_len: int) -> int:
+    """The stage multiple that makes a shard a whole number of lane-tile
+    blocks under plan_blocks' bpp-trimmed dec_len — i.e. exactly the
+    `sd % (LANE_TILE * plan.dec_len) == 0` gate of the zero-copy aligned
+    decode path in build_sharded_decoder.  The ONE place the alignment
+    rule lives; decode_sharded and build_sharded_simulation both feed it
+    to sharded_stage_count(align=...)."""
+    bpp = cfg.bits_per_pack
+    dl = max(bpp, dec_len - dec_len % bpp)
+    return 128 * dl
+
+
 def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
                           mesh, dec_len: int = 2048,
                           survivor: str = "auto"):
@@ -72,7 +84,8 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
         raise ValueError(f"survivor must be 'auto', 'full' or 'window', "
                          f"got {survivor!r}")
     try:
-        from ..decoder.core_pallas import (decode_packed_pallas,
+        from ..decoder.core_pallas import (LANE_TILE, decode_packed_pallas,
+                                           padded_input_words,
                                            pallas_supported, resolve_window)
         win = resolve_window(survivor, cfg, plan)
         use_pallas = pallas_supported(cfg, plan, window=win)
@@ -93,13 +106,11 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     # Otherwise one concat builds the decoder's full input (local stream +
     # halo + staging pad) — folding the pad in here keeps it to a single
     # copy instead of a second pad-concat inside decode_packed_pallas.
-    from ..decoder.core_pallas import LANE_TILE
     aligned = (use_pallas and cfg.channel_in != ChannelIn.FP32
                and plan.dec_len >= 64
                and sd % (LANE_TILE * plan.dec_len) == 0)
     pad_words = 0
     if use_pallas and cfg.channel_in != ChannelIn.FP32 and not aligned:
-        from ..decoder.core_pallas import padded_input_words
         pad_words = max(0, padded_input_words(cfg, plan)
                         - (local_words + halo_words))
 
@@ -138,7 +149,7 @@ def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
     total_stages = input_num // 2
     # align to lane_tile*dec_len blocks when cheap -> zero-copy decode path
     sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack,
-                             align=128 * dec_len)
+                             align=zero_copy_align_stages(cfg, dec_len))
     padded_stages = sd * num_devices
     words_needed = padded_stages * 2 // cfg.enc_data_per_pack
 

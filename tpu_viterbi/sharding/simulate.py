@@ -39,7 +39,8 @@ from ..chain.genkernel import (packed_workload_pallas_sharded,
 from ..chain.quantize import pack_words
 from ..chain.workload import packed_workload
 from ..config import ChannelIn, DecoderConfig
-from .blocks import build_sharded_decoder, sharded_stage_count
+from .blocks import (build_sharded_decoder, sharded_stage_count,
+                     zero_copy_align_stages)
 from .mesh import BLOCK_AXIS
 
 # channel scale the CLI driver uses per input format (reference scale
@@ -122,16 +123,17 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     # further alignment to lane_tile*dec_len blocks hits the fully
     # zero-copy decode path (the shard stream is the kernel's bitcast
     # body, the ppermute halo rides the tile-edge input — blocks.py);
-    # only when compatible with the generator granularity
-    al = 128 * dec_len
+    # only when compatible with the generator granularity.  The round-up
+    # and its tighter padding gate (max_pad_num=32: decode/generate work
+    # grows with the pad, so it must stay well under the saved concat
+    # copy ~3%) live in sharded_stage_count — one copy of the rule shared
+    # with decode_sharded; max() keeps the generator alignment whenever
+    # the lane-tile gate declines.
+    al = zero_copy_align_stages(cfg, dec_len)
     if generator != "pallas" or al % generator_span_stages(
             cfg.channel_in) == 0:
-        sd_al = -(-sd // al) * al
-        # tighter gate than the generator alignment: the decode/generate
-        # work grows with the pad, so it must stay well under the saved
-        # concat copy (~3%)
-        if sd_al * num_devices <= total_stages + total_stages // 32:
-            sd = sd_al
+        sd = max(sd, sharded_stage_count(total_stages, num_devices,
+                                         cfg.bits_per_pack, align=al))
 
     decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
                                             survivor=survivor)
