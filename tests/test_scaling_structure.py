@@ -62,6 +62,29 @@ def test_collective_census_8_devices():
     _check(audit)
 
 
+@pytest.mark.parametrize("channel,decode_out,survivor,halo", [
+    ("FP32", "O_B32", "full", "f32[128]{0}"),    # dpp=1 float wire
+    ("SOFT16", "O_B32", "auto", "s32[64]{0}"),   # dpp=2
+    ("SOFT8", "O_B16", "window", "s32[32]{0}"),  # windowed survivor + b16
+    ("HARD", "O_B32", "full", "s32[4]{0}"),      # dpp=32
+], ids=lambda v: str(v).split("{")[0])
+def test_decoder_census_other_wire_formats(channel, decode_out, survivor,
+                                           halo):
+    """The one-halo-permute contract holds for every wire format, both
+    survivor modes, and both output widths — not just the headline
+    SOFT8/b32/full config run_audit covers.  The permute's shape is the
+    format's 64-stage halo (2*WARMUP/dpp words), the whole cross-device
+    wire contract of a sharded decode."""
+    from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
+    from tpu_viterbi.sharding.audit import audit_decoder
+    from tpu_viterbi.sharding.mesh import make_block_mesh
+    cfg = DecoderConfig(channel_in=ChannelIn[channel],
+                        decode_out=DecodeOut[decode_out])
+    census = audit_decoder(cfg, SD, make_block_mesh(), DEC_LEN,
+                           survivor=survivor)
+    assert census == {"collective-permute": [halo]}, census
+
+
 @pytest.fixture(scope="module")
 def census_by_devices():
     """Subprocess audits at 16 and 32 virtual devices (each needs its own
