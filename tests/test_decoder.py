@@ -207,6 +207,18 @@ def test_exec_cache_keyed_by_input_size():
     assert e_b2 is e_b1
     assert set(dec._exec_cache) == {n_a, n_b}
 
+    # bounded LRU: a long-lived instance fed many sizes must not retain
+    # an executable per size forever — the least recently used is evicted
+    # at _EXEC_CACHE_SIZE, and recently-run sizes survive
+    cap = dec._EXEC_CACHE_SIZE
+    sizes = [2 * 4096 * (k + 3) for k in range(cap)]
+    for n in sizes:
+        run(n)
+    assert len(dec._exec_cache) == cap
+    assert n_a not in dec._exec_cache and n_b not in dec._exec_cache
+    assert sizes[-1] in dec._exec_cache
+    assert run(sizes[-1]) is dec._exec_cache[sizes[-1]][3]
+
 
 def test_use_pallas_raises_on_real_bugs():
     """_use_pallas only swallows ImportError; a genuine bug inside
