@@ -48,8 +48,9 @@ def measure(label, channel_name, message_len, dec_len, *, window=False,
     from tpu_viterbi.chain.quantize import pack_words
     from tpu_viterbi.config import ChannelIn, DecoderConfig
     from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
-                                                 vmem_footprint_bytes,
-                                                 VMEM_BUDGET_BYTES)
+                                                 vmem_footprint_bytes)
+    from tpu_viterbi.hardware import vmem_budget_bytes
+    VMEM_BUDGET_BYTES = vmem_budget_bytes()
     from tpu_viterbi.decoder.core_xla import plan_blocks
 
     channel = ChannelIn[channel_name]

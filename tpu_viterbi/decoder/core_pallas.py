@@ -65,15 +65,14 @@ from .core_xla import (WARMUP, BlockPlan, assemble_output,
 
 LANE_TILE = 128  # blocks per kernel program (VPU lane width)
 
-# Per-core VMEM budget the kernel's static buffers must fit in.  XLA's
-# scoped-vmem allocator enforces a 16.00M limit on this backend (measured:
-# the FP32 two-stream kernel at dec_len 8192 was rejected at compile time
-# with "Scoped allocation with size 24.44M and limit 16.00M" — exactly
-# vmem_footprint_bytes' prediction — while the 15.0M SOFT8 bench config
-# compiles and runs).  Plans that exceed it are rejected up front with a
-# clear error (see pallas_supported / decode_packed_pallas) or fall back
-# to the XLA core instead of surfacing as a raw compile failure.
-VMEM_BUDGET_BYTES = 16 * 10 ** 6
+# Per-core scoped-VMEM budget the kernel's static buffers must fit in —
+# resolved per device kind (with an env override) by hardware.py, NOT a
+# chip-baked literal: on this backend ("TPU v5 lite") the measured limit
+# is 16.00M (see hardware._VMEM_BUDGET_BY_KIND for the measurement).
+# Plans that exceed it are rejected up front with a clear error (see
+# pallas_supported / decode_packed_pallas) or fall back to the XLA core /
+# windowed survivor instead of surfacing as a raw Mosaic compile failure.
+from ..hardware import vmem_budget_bytes  # noqa: E402
 
 # Minimum merged-history depth (in ACS stages) of the windowed-survivor
 # per-slide chase: the r4 BER A/B (32M bits, SNR 1.125 dB) validated the
@@ -130,8 +129,8 @@ def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
                      lane_tile: int = LANE_TILE,
                      window: bool = False) -> bool:
     """True when the fused kernel both runs on this backend and fits the
-    plan in VMEM (vmem_footprint_bytes vs VMEM_BUDGET_BYTES) — callers on
-    backend='auto' fall back to the XLA scan core otherwise.
+    plan in VMEM (vmem_footprint_bytes vs hardware.vmem_budget_bytes) —
+    callers on backend='auto' fall back to the XLA scan core otherwise.
 
     All metric dtypes route through the int32 kernel: the reference
     sizes renorm strides so int16 PMs never wrap and restricts fp16 to
@@ -145,7 +144,7 @@ def pallas_supported(cfg: DecoderConfig, plan: BlockPlan,
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return vmem_footprint_bytes(cfg, plan, lane_tile, window=window) \
-        <= VMEM_BUDGET_BYTES
+        <= vmem_budget_bytes()
 
 
 def resolve_window(survivor: str, cfg: DecoderConfig, plan: BlockPlan,
@@ -165,9 +164,10 @@ def resolve_window(survivor: str, cfg: DecoderConfig, plan: BlockPlan,
     if survivor != "auto":
         raise ValueError(f"survivor must be 'auto', 'full' or 'window', "
                          f"got {survivor!r}")
-    return (vmem_footprint_bytes(cfg, plan, lane_tile) > VMEM_BUDGET_BYTES
+    budget = vmem_budget_bytes()
+    return (vmem_footprint_bytes(cfg, plan, lane_tile) > budget
             and vmem_footprint_bytes(cfg, plan, lane_tile, window=True)
-            <= VMEM_BUDGET_BYTES)
+            <= budget)
 
 
 def _check_vmem(cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
@@ -177,11 +177,12 @@ def _check_vmem(cfg: DecoderConfig, plan: BlockPlan, lane_tile: int,
         return
     need = vmem_footprint_bytes(cfg, plan, lane_tile, fused, value_mode,
                                 window)
-    if need > VMEM_BUDGET_BYTES:
+    budget = vmem_budget_bytes()
+    if need > budget:
         raise ValueError(
             f"plan does not fit VMEM: dec_len={plan.dec_len} x "
             f"lane_tile={lane_tile} needs ~{need >> 20} MiB of kernel "
-            f"buffers (budget {VMEM_BUDGET_BYTES >> 20} MiB); lower "
+            f"buffers (budget {budget >> 20} MiB); lower "
             f"dec_len/lane_tile or use the XLA backend")
 
 
@@ -357,10 +358,13 @@ def _decode_core(make_ud, out_ref, surv_ref, *, n_packs, bpp, n_conv,
         consts.append((runs_lo, runs_hi, s0, s1, s0 == s1, write))
 
     emit_lo = n_packs - n_conv - n_emit         # lowest pack index emitted
-    # window-mode chase depth in packs: >= WINDOW_MIN_CHASE_STAGES stages
-    # (the r4 BER-validated floor; survivor_window_slots sizes W to match)
-    n_disc = max(n_conv + 1, -(-WINDOW_MIN_CHASE_STAGES // bpp))
-    W = n_disc + 2
+    # window-mode chase depth in packs (>= WINDOW_MIN_CHASE_STAGES merged
+    # stages, the r4 BER-validated floor) — derived from the scratch
+    # allocation itself (survivor_window_slots = n_disc + 2), the ONE
+    # place the depth formula lives, so the circular-buffer sizing and
+    # this indexing can never drift (ADVICE r4)
+    W = surv_ref.shape[0] if window else n_packs
+    n_disc = W - 2
 
     def _chase(slot_pack, state):
         """Register-exchange step: gather the survivor pack of `state`
@@ -924,9 +928,8 @@ def _stage_layout(r: jnp.ndarray, plan: BlockPlan, b_pad: int):
     64-stage halo is a shifted reshaped view; the (L, 2, B) transpose is the
     only data movement.
 
-    The last real block is left-shifted (plan.offsets); padding blocks and
-    the shifted last block are patched with narrow per-block slices (cheap:
-    touches 2 blocks, not B)."""
+    Natural last-block framing (BlockPlan docstring): the last block's
+    beyond-stream tail reads the zero-padded stream, no patch slices."""
     dl, L, B = plan.dec_len, plan.block_len, plan.num_blocks
 
     from .core_xla import overlapped_windows
@@ -1150,7 +1153,7 @@ def decode_packed_pallas(packed: jnp.ndarray, cfg: DecoderConfig,
             # staging (supports any dec_len at SOFT8-like VMEM cost)
             if roll and vmem_footprint_bytes(
                     cfg, plan, lane_tile, window=window,
-                    f32_values=True) <= VMEM_BUDGET_BYTES:
+                    f32_values=True) <= vmem_budget_bytes():
                 return _run_kernel_fused_f32v(
                     packed.astype(jnp.float32), cfg, plan, lane_tile,
                     interpret, window=window)
