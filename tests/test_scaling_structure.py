@@ -62,26 +62,33 @@ def test_collective_census_8_devices():
     _check(audit)
 
 
-@pytest.mark.parametrize("channel,decode_out,survivor,halo", [
-    ("FP32", "O_B32", "full", "f32[128]{0}"),    # dpp=1 float wire
-    ("SOFT16", "O_B32", "auto", "s32[64]{0}"),   # dpp=2
-    ("SOFT8", "O_B16", "window", "s32[32]{0}"),  # windowed survivor + b16
-    ("HARD", "O_B32", "full", "s32[4]{0}"),      # dpp=32
+@pytest.mark.parametrize("channel,decode_out,survivor,backend,halo", [
+    ("FP32", "O_B32", "full", "auto", "f32[128]{0}"),   # dpp=1 float wire
+    ("SOFT16", "O_B32", "auto", "auto", "s32[64]{0}"),  # dpp=2
+    # windowed survivor + b16: an explicit window request is only honored
+    # on the Pallas kernel path (loud rejection otherwise, VERDICT r4
+    # item 4), so this case compiles the production interpret-mode kernel
+    # into the census — the ppermute contract must be unchanged by it
+    ("SOFT8", "O_B16", "window", "pallas-interpret", "s32[32]{0}"),
+    ("HARD", "O_B32", "full", "auto", "s32[4]{0}"),     # dpp=32
 ], ids=lambda v: str(v).split("{")[0])
 def test_decoder_census_other_wire_formats(channel, decode_out, survivor,
-                                           halo):
+                                           backend, halo):
     """The one-halo-permute contract holds for every wire format, both
     survivor modes, and both output widths — not just the headline
     SOFT8/b32/full config run_audit covers.  The permute's shape is the
     format's 64-stage halo (2*WARMUP/dpp words), the whole cross-device
     wire contract of a sharded decode."""
+    import jax
+
     from tpu_viterbi.config import ChannelIn, DecodeOut, DecoderConfig
     from tpu_viterbi.sharding.audit import audit_decoder
     from tpu_viterbi.sharding.mesh import make_block_mesh
+    jax.clear_caches()   # big interpret HLO graphs; see test_word_mode_golden
     cfg = DecoderConfig(channel_in=ChannelIn[channel],
                         decode_out=DecodeOut[decode_out])
     census = audit_decoder(cfg, SD, make_block_mesh(), DEC_LEN,
-                           survivor=survivor)
+                           survivor=survivor, backend=backend)
     assert census == {"collective-permute": [halo]}, census
 
 

@@ -70,13 +70,14 @@ def _input_dtype(cfg: DecoderConfig):
 
 
 def audit_decoder(cfg: DecoderConfig, stages_per_device: int, mesh,
-                  dec_len: int = 512,
-                  survivor: str = "auto") -> Dict[str, List[str]]:
+                  dec_len: int = 512, survivor: str = "auto",
+                  backend: str = "auto") -> Dict[str, List[str]]:
     """Collective census of the compiled sharded decoder
     (sharding/blocks.py build_sharded_decoder) on `mesh`."""
     from .blocks import build_sharded_decoder
-    fn, _, local_words = build_sharded_decoder(
-        cfg, stages_per_device, mesh, dec_len, survivor=survivor)
+    fn, _, local_words, _ = build_sharded_decoder(
+        cfg, stages_per_device, mesh, dec_len, survivor=survivor,
+        backend=backend)
     n = mesh.shape[BLOCK_AXIS]
     aval = jax.ShapeDtypeStruct((n * local_words,), _input_dtype(cfg),
                                 sharding=NamedSharding(mesh, P(BLOCK_AXIS)))

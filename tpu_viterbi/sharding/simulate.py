@@ -80,7 +80,8 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
                              dec_len: int = 2048,
                              return_output: bool = False,
                              generator: str = "auto",
-                             survivor: str = "auto"):
+                             survivor: str = "auto",
+                             backend: str = "auto"):
     """Returns (jitted simulate(key), message_len_out).
 
     simulate(key) runs the full generate->decode->count chain on the mesh
@@ -135,8 +136,9 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
         sd = max(sd, sharded_stage_count(total_stages, num_devices,
                                          cfg.bits_per_pack, align=al))
 
-    decode_fn, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
-                                            survivor=survivor)
+    decode_fn, _, _, _ = build_sharded_decoder(cfg, sd, mesh, dec_len,
+                                               survivor=survivor,
+                                               backend=backend)
     dpp = 1 if cfg.channel_in == ChannelIn.FP32 else cfg.enc_data_per_pack
     words_needed = sd * num_devices * 2 // dpp
     if scale is None:
@@ -199,10 +201,12 @@ def simulate_sharded(cfg: DecoderConfig, message_len: int, mesh,
                      snr_db: float = 5.5, seed: int = 0,
                      scale: float = None, dec_len: int = 2048,
                      generator: str = "auto",
-                     survivor: str = "auto") -> Tuple[int, int]:
+                     survivor: str = "auto",
+                     backend: str = "auto") -> Tuple[int, int]:
     """Convenience one-shot: returns (bit_error_count, message_len)."""
     fn, m = build_sharded_simulation(cfg, message_len, mesh, snr_db=snr_db,
                                      scale=scale, dec_len=dec_len,
-                                     generator=generator, survivor=survivor)
+                                     generator=generator, survivor=survivor,
+                                     backend=backend)
     ben = int(jax.block_until_ready(fn(jax.random.PRNGKey(seed))))
     return ben, m
