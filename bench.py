@@ -22,7 +22,7 @@ cancelled exactly at constant dispatch shape.
 Also emitted:
   ns_per_stage   kernel regression canary through relay noise: marginal
                  seconds / (grid tiles * ACS stages per tile)
-  alu_floor_pct  ALU-op-count floor (ALU_FLOOR_NS, from
+  alu_floor_pct  ALU-op-count floor (hardware.vpu_model, from
                  scripts/op_cost_probe.py measurements) / ns_per_stage
   e2e_gbps       the flagship in-graph loop (fused Pallas generation +
                  decode + BER count as ONE jitted program,
@@ -37,22 +37,15 @@ import numpy as np
 
 BASELINE_GBPS = 100.0
 
-# ALU-op-count floor per ACS stage per 128-block tile: ~15 minimal
-# (32,128) int32 vector ops (4 candidate adds, 2 compares, 4 selects,
-# BM select+sign, 3 register-exchange ops) at the measured ~0.85 ns per
-# (32,128) op on this backend (scripts/op_cost_probe.py; BASELINE.md
-# "where the single-chip number comes from").  ns_per_stage at 100% of
-# this would mean zero relayout overhead — the shipped rotating layout
-# measures ~45% relayout share, i.e. ~46-50%.
-ALU_FLOOR_NS = 12.75
-
-# Minimal algorithmic vreg-ops per ACS stage per 128-block tile: the ~15
-# (32,128) int32 ops above at 4 vregs each.  Used for the externally
-# interpretable MFU figure: achieved vreg-ops/cycle vs the VPU's
-# 4-vreg-ops/cycle issue rate (measured ~0.85 ns per (32,128) op,
-# scripts/op_cost_probe.py; see BASELINE.md "MFU accounting").
-STAGE_VREG_OPS = 60
-VPU_VREG_OPS_PER_NS = 4.7   # measured peak: 4 vregs / 0.85 ns
+# ALU-op-count floor / VPU issue-rate model for the utilization fields
+# (alu_floor_pct, mfu_pct): resolved PER DEVICE KIND by
+# tpu_viterbi/hardware.py (measured on "TPU v5 lite" via
+# scripts/op_cost_probe.py: ~15 minimal (32,128) int32 vector ops per ACS
+# stage at ~0.85 ns each = 12.75 ns floor, 60 vreg-ops at the 4.7
+# vreg-ops/ns issue peak; BASELINE.md "MFU accounting" documents the
+# conversion).  On a device kind with no measured model the fields are
+# OMITTED rather than mis-reported against another chip's issue rate
+# (VERDICT r4 item 2).
 
 _T0 = time.time()
 
@@ -265,16 +258,21 @@ def main():
         stages = tiles * plan.n_packs * plan.bits_per_pack
         ns_stage = kernel_s * 1e9 / stages
         result["ns_per_stage"] = round(ns_stage, 2)
-        result["alu_floor_pct"] = round(100.0 * ALU_FLOOR_NS / ns_stage, 1)
         # externally interpretable utilization (VERDICT r3 item 6):
         # achieved vreg-ops/ns on the stage's minimal algorithmic work vs
-        # the measured 4-vreg-ops/cycle VPU issue peak (= 4.7 vreg-ops/ns
-        # at the measured 0.85 ns per (32,128) op); BASELINE.md "MFU
-        # accounting" documents the conversion
-        vops_per_ns = STAGE_VREG_OPS / ns_stage
-        result["vreg_ops_per_ns"] = round(vops_per_ns, 2)
-        result["mfu_pct"] = round(100.0 * vops_per_ns /
-                                  VPU_VREG_OPS_PER_NS, 1)
+        # the measured VPU issue peak of THIS device kind (hardware.py;
+        # BASELINE.md "MFU accounting" documents the conversion) — fields
+        # omitted when the kind has no measured model
+        from tpu_viterbi.hardware import vpu_model
+        model = vpu_model()
+        if model is not None:
+            alu_floor_ns, stage_vreg_ops, vreg_ops_per_ns_peak = model
+            result["alu_floor_pct"] = round(
+                100.0 * alu_floor_ns / ns_stage, 1)
+            vops_per_ns = stage_vreg_ops / ns_stage
+            result["vreg_ops_per_ns"] = round(vops_per_ns, 2)
+            result["mfu_pct"] = round(100.0 * vops_per_ns /
+                                      vreg_ops_per_ns_peak, 1)
         if canary_ns is not None:
             result["canary_ns"] = round(canary_ns, 2)
 
@@ -310,6 +308,32 @@ def main():
             result["e2e_gbps"] = round(m_e2e / e2e_s / 1e9, 3)
     except Exception as e:  # e2e is a secondary metric; never fail the run
         _log(f"e2e metric skipped: {type(e).__name__}: {e}")
+
+    # sustained serving (VERDICT r4 item 7): >= 10 consecutive messages
+    # through ViterbiTPU.run_stream — inputs pre-staged, dispatches queued
+    # back to back with one trailing block.  Unlike the slope figures this
+    # INCLUDES any serialized per-dispatch overhead the backend cannot
+    # pipeline away (the relay's ~25-35 ms floor here; see BASELINE.md
+    # "sustained serving").
+    try:
+        from tpu_viterbi.decoder.api import ViterbiTPU
+        n_msgs = 10 if message_len <= 64_000_000 else 4
+        dec = ViterbiTPU(cfg, dec_len=dec_len)
+        words = cfg.get_input_words(input_num)
+        host_rng = np.random.default_rng(555)
+        msgs = [host_rng.integers(-2 ** 31, 2 ** 31, size=words)
+                .astype(np.int32) for _ in range(n_msgs + 1)]
+        # warm with a throwaway input (the relay memoizes repeats)
+        dec.run_stream(msgs[:1], input_num, want_time=False)
+        msgs = msgs[1:]
+        _log(f"sustained: streaming {n_msgs} x {message_len} bits")
+        _, per = dec.run_stream(msgs, input_num)
+        result["sustained_seconds_per_msg"] = round(per, 6)
+        result["sustained_gbps"] = round(m / per / 1e9, 3)
+        _log(f"sustained: {per*1e3:.1f} ms/msg = "
+             f"{result['sustained_gbps']} Gb/s")
+    except Exception as e:
+        _log(f"sustained metric skipped: {type(e).__name__}: {e}")
 
     print(json.dumps(result))
     return 0

@@ -4,6 +4,7 @@ variants, and end-to-end noiseless exactness through the full API."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpu_viterbi.chain.encode import conv_encode_np
 from tpu_viterbi.chain.quantize import quantize_and_pack
@@ -170,6 +171,40 @@ def test_run_times_single_dispatch_and_slope_mode():
     assert isinstance(ks, float) and ks > 0
 
 
+def test_auto_dec_len_policy_and_api():
+    """dec_len='auto' (VERDICT r4 item 3): large messages keep the
+    measured-best 8192; below 8192*128 bits dec_len shrinks to fill the
+    128-lane tile; floor WARMUP=64 (roll-halo staging minimum); and the
+    resolved plan decodes correctly through ViterbiTPU."""
+    from tpu_viterbi.decoder.core_xla import WARMUP, auto_dec_len
+
+    assert auto_dec_len(32_000_000, 32) == 8192
+    assert auto_dec_len(8192 * 128, 32) == 8192
+    # 1M bits: ceil(1e6/128) = 7813 -> 7840 (pack multiple) -> 128 blocks
+    assert auto_dec_len(1_000_000, 32) == 7840
+    assert -(-1_000_000 // 7840) == 128
+    # 100K: ceil/128 = 782 -> 800
+    assert auto_dec_len(100_000, 32) == 800
+    # bpp=16 rounding
+    assert auto_dec_len(1_000_000, 16) % 16 == 0
+    # tiny messages hit the WARMUP floor
+    assert auto_dec_len(1000, 32) == WARMUP
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    n = 20_000
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    coded = conv_encode_np(bits).astype(np.float32)
+    packed = quantize_and_pack(jnp.asarray(2 * coded - 1), cfg.channel_in,
+                               4.0)
+    dec = ViterbiTPU(cfg, dec_len="auto", backend="xla")
+    out, _ = dec.run(np.asarray(packed), 2 * n, want_time=False)
+    m = cfg.get_message_len(2 * n)
+    assert dec._plan.dec_len == auto_dec_len(m, 32)
+    got = unpack_msb_first(out, 32)[:m]
+    assert np.array_equal(got, bits[EXTRA_L: EXTRA_L + m])
+
+
 def test_run_rejects_short_input():
     import pytest as _pytest
 
@@ -183,6 +218,29 @@ def test_run_rejects_short_input():
     short = np.zeros(words - 1, dtype=np.int32)
     with _pytest.raises(ValueError, match="need"):
         dec.run(short, input_num, want_time=False)
+
+
+def test_run_stream_matches_run():
+    """Sustained serving mode: run_stream decodes a back-to-back message
+    stream with one trailing block, bit-identical per message to run()."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    n = 4096
+    rng = np.random.default_rng(29)
+    dec = ViterbiTPU(cfg, dec_len=256, backend="xla")
+    msgs = []
+    for _ in range(3):
+        bits = rng.integers(0, 2, n).astype(np.uint8)
+        coded = conv_encode_np(bits).astype(np.float32)
+        msgs.append(np.asarray(quantize_and_pack(
+            jnp.asarray(2 * coded - 1), cfg.channel_in, 4.0)))
+    outs, per = dec.run_stream(msgs, 2 * n)
+    assert per is not None and per > 0
+    assert len(outs) == 3
+    for msg, out in zip(msgs, outs):
+        ref, _ = dec.run(msg, 2 * n, want_time=False)
+        assert np.array_equal(out, ref)
+    with pytest.raises(ValueError, match="need"):
+        dec.run_stream([msgs[0][:-1]], 2 * n)
 
 
 def test_exec_cache_keyed_by_input_size():

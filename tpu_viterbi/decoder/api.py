@@ -28,11 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ChannelIn, DecoderConfig
-from .core_xla import decode_packed_xla, plan_blocks
+from .core_xla import auto_dec_len, decode_packed_xla, plan_blocks
 
 # 2048 balances CPU-path cost against halo overhead; at 32M-bit scale on
 # TPU, dec_len=8192 measures ~7% faster (scripts/sweep2.py — bench.py uses
-# it); pass dec_len explicitly for large production runs
+# it); pass dec_len explicitly for large production runs, or dec_len='auto'
+# for a message-size-aware choice (core_xla.auto_dec_len)
 DEFAULT_DEC_LEN = 2048
 
 
@@ -69,7 +70,10 @@ class ViterbiTPU:
             raise ValueError(f"survivor must be 'auto', 'full' or "
                              f"'window', got {survivor!r}")
         self.config = config
-        self.dec_len = int(dec_len)
+        # 'auto' resolves per message size at build time (auto_dec_len):
+        # large runs keep the measured-best large dec_len, small ones
+        # shrink it to fill the 128-lane tile (VERDICT r4 item 3)
+        self.dec_len = dec_len if dec_len == "auto" else int(dec_len)
         self.backend = backend
         self.time_mode = time_mode
         self.survivor = survivor
@@ -95,7 +99,9 @@ class ViterbiTPU:
     def _build(self, input_num: int):
         cfg = self.config
         message_len = cfg.get_message_len(input_num)
-        plan = plan_blocks(message_len, cfg.bits_per_pack, self.dec_len)
+        dl = auto_dec_len(message_len, cfg.bits_per_pack) \
+            if self.dec_len == "auto" else self.dec_len
+        plan = plan_blocks(message_len, cfg.bits_per_pack, dl)
         interp = self.backend == "pallas-interpret"
         win = False
         try:
@@ -104,6 +110,18 @@ class ViterbiTPU:
         except ImportError:
             pass
         use_pallas = interp or self._use_pallas(plan, win)
+        if self.survivor == "window" and not use_pallas:
+            # the one-pointer circular buffer lives in the Pallas kernel;
+            # the XLA scan core always stores the full survivor history.
+            # An explicit window request it cannot honor must fail loudly
+            # (the OptionsValid philosophy, viterbi.h:22-41) instead of
+            # silently decoding full-store (VERDICT r4 item 4).
+            raise ValueError(
+                "survivor='window' requires the Pallas kernel path, but "
+                f"this run resolves to the XLA core (backend="
+                f"{self.backend!r} on {jax.default_backend()!r}); run on "
+                "TPU, use backend='pallas-interpret', or use "
+                "survivor='auto' (windows only when VMEM requires it)")
 
         # zero-copy staging contract: hand the kernel a stream pre-padded
         # to padded_input_words so no in-graph pad-concat/copy happens —
@@ -219,6 +237,48 @@ class ViterbiTPU:
             if want_time:                       # slope mode, cached per size
                 t = self.measure_kernel_time(input_num)
         return np.asarray(out), t
+
+    def run_stream(self, packed_inputs, input_num: int,
+                   want_time: bool = True):
+        """Sustained serving mode (VERDICT r4 item 7): decode a stream of
+        messages back to back — the serving analog of the reference's
+        persistent single-launch kernel (viterbi.cu:228).
+
+        All inputs are staged to the device first (untimed, like the
+        reference's host->device copies outside its cudaEvent pair); the
+        pre-compiled executable is then dispatched for every message
+        WITHOUT blocking in between, letting JAX's async dispatch queue
+        the whole stream so the backend pipelines dispatch latency with
+        device compute, and one block at the end drains it.
+
+        Returns (outputs, sustained_seconds_per_message).  outputs is a
+        list of packed output word arrays in input order.  The sustained
+        figure includes per-dispatch overheads that back-to-back queueing
+        cannot hide — on a backend with a large serialized dispatch floor
+        (e.g. a dev relay) it approaches floor+kernel rather than the
+        slope figure; BASELINE.md records the measured gap."""
+        cfg = self.config
+        words = cfg.get_input_words(input_num)
+        self._warm(input_num)
+        xs = []
+        for p in packed_inputs:
+            n_in = np.shape(p)[0]
+            if n_in < words:
+                raise ValueError(
+                    f"packed input has {n_in} words, need {words} for "
+                    f"input_num={input_num} ({cfg.channel_in.name})")
+            x = jnp.asarray(p, dtype=self._input_dtype())[:words]
+            if self._exp_words > words:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((self._exp_words - words,), x.dtype)])
+            xs.append(jax.device_put(x))
+        jax.block_until_ready(xs)
+        t0 = time.perf_counter()
+        outs = [self._exec(x) for x in xs]     # no intermediate blocking
+        jax.block_until_ready(outs)
+        t = time.perf_counter() - t0
+        per = t / max(1, len(outs)) if want_time else None
+        return [np.asarray(o) for o in outs], per
 
     def measure_kernel_time(self, input_num: int, repeats: int = 3,
                             seed: int = 0) -> float:

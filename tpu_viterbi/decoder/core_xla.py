@@ -103,6 +103,27 @@ def plan_blocks(message_len: int, bits_per_pack: int,
     return BlockPlan(message_len, dec_len, num_blocks, bits_per_pack)
 
 
+def auto_dec_len(message_len: int, bits_per_pack: int,
+                 preferred: int = 8192, lane_tile: int = 128) -> int:
+    """Message-size-aware dec_len (VERDICT r4 item 3: the static default
+    leaves lanes idle below ~preferred*lane_tile bits — at 1M bits,
+    dec_len 8192 makes only 123 blocks against the 128-lane tile).
+
+    Large messages keep `preferred` (dec_len 8192 measured best at 32M,
+    scripts/sweep2.py; 16384 re-probed negative r4).  Below
+    preferred * lane_tile bits, shrink dec_len to ceil(m / lane_tile)
+    rounded up to a pack multiple, so the block count fills one whole
+    lane tile (the TPU analog of the reference's remainder distribution
+    keeping all warps busy at any n, viterbi.cu:156-162).  Floor 64: the
+    zero-copy roll-halo staging needs dec_len >= WARMUP, and the 64-stage
+    halo overhead dominates below it anyway."""
+    if message_len >= preferred * lane_tile:
+        return preferred
+    dl = -(-message_len // lane_tile)
+    dl = -(-dl // bits_per_pack) * bits_per_pack
+    return max(WARMUP, min(preferred, dl))
+
+
 _MAX_ABS_BM = {ChannelIn.HARD: 2, ChannelIn.SOFT4: 16,
                ChannelIn.SOFT8: 256, ChannelIn.SOFT16: 65536,
                ChannelIn.FP32: 16}
