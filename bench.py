@@ -123,12 +123,15 @@ def main():
     message_len = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     snr_db = 5.5
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    # dec_len 8192 measured best at 32M on v5e (scripts/sweep2.py): the
-    # 64-stage halo amortizes over longer blocks
-    dec_len = 8192
 
     input_num = 2 * message_len
     m = cfg.get_message_len(input_num)
+    # auto dec_len: 8192 (measured best, scripts/sweep2.py) at the 32M+
+    # headline sizes; below 8192*128 bits it shrinks to fill the lane tile
+    # (bench/small_msg_sweep.json: 5.10 vs 4.90 Gb/s at 1M, 3.94 vs 0.47
+    # at 100K)
+    from tpu_viterbi.decoder.core_xla import auto_dec_len
+    dec_len = auto_dec_len(m, cfg.bits_per_pack)
     plan = plan_blocks(m, cfg.bits_per_pack, dec_len)
 
     try:

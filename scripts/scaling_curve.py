@@ -1,6 +1,10 @@
 """Decoded-throughput scaling curve over message size on the current chip
-(slope-timed full decodes, SOFT8 x int32 x b32, dec_len 8192).  Writes
-bench/scaling_curve.json."""
+(SOFT8 x int32 x b32, dec_len = auto_dec_len: the static-8192 droop below
+~8M bits is closed by the lane-tile-fill policy, VERDICT r4 item 3 /
+bench/small_msg_sweep.json).  Sub-ms decodes are amplified inside one
+dispatch (K decodes in a lax.fori_loop on in-graph-perturbed inputs) so
+the relay's ~ms dispatch jitter cancels.  Writes bench/scaling_curve.json.
+"""
 
 import json
 import os
@@ -8,16 +12,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from timing_util import slope  # noqa: E402
 
-import numpy as np
-import jax
-import jax.numpy as jnp
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-from tpu_viterbi.config import ChannelIn, DecoderConfig
-from tpu_viterbi.decoder.core_pallas import decode_packed_pallas
-from tpu_viterbi.decoder.core_xla import plan_blocks
+from tpu_viterbi.config import ChannelIn, DecoderConfig  # noqa: E402
+from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,  # noqa: E402
+                                             padded_input_words)
+from tpu_viterbi.decoder.core_xla import (auto_dec_len,  # noqa: E402
+                                          plan_blocks)
 
 T0 = time.time()
 
@@ -26,33 +30,52 @@ def log(s):
     print(f"+{time.time()-T0:6.1f}s {s}", flush=True)
 
 
-def point(m):
+def point(m, dl=None, reps=3, target_s=0.04):
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    plan = plan_blocks(m, 32, 8192)
-    n_words = 2 * (m + 64) // cfg.enc_data_per_pack
+    dl = dl or auto_dec_len(m, 32)
+    plan = plan_blocks(m, 32, dl)
+    n_words = padded_input_words(cfg, plan)   # zero-copy staging length
     gen = jax.jit(lambda k: jax.random.randint(
         k, (n_words,), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32))
-    n_xs = 8 if m <= 32_000_000 else 4
-    ks = (1, 5) if m <= 32_000_000 else (1, 2)
-    xs = [gen(jax.random.PRNGKey(i)) for i in range(n_xs)]
-    np.asarray(sum(jnp.sum(x[:4]) for x in xs))
+    n_xs = 4 if m <= 64_000_000 else 3
+    xs = [jax.block_until_ready(gen(jax.random.PRNGKey(17 + i)))
+          for i in range(n_xs)]
+    K = max(2, min(2048, int(target_s / (m / 4.5e9)) + 1))
 
     def mk(k):
-        return jax.jit(lambda *ws: sum(
-            jnp.sum(decode_packed_pallas(w, cfg, plan).view(jnp.int32))
-            for w in ws))
-    t = slope(mk, xs, reps=3, ks=ks)
+        def run(x):
+            def body(i, acc):
+                out = decode_packed_pallas(x + i, cfg, plan)
+                return acc + jnp.sum(out.view(jnp.int32))
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+        return jax.jit(run)
+
+    f1, fK = mk(1), mk(K)
+    np.asarray(f1(xs[0]))
+    np.asarray(fK(xs[0]))
+    t1s, tKs = [], []
+    for j in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f1(xs[(2 * j + 1) % n_xs]))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(fK(xs[(2 * j + 2) % n_xs]))
+        tKs.append(time.perf_counter() - t0)
+    t = (min(tKs) - min(t1s)) / (K - 1)
     del xs
     gbps = m / t / 1e9
-    log(f"m={m:>11,d}: {t*1e3:7.2f} ms = {gbps:5.2f} Gb/s "
-        f"({plan.num_blocks} blocks)")
-    return {"message_len": m, "decode_seconds": round(t, 6),
-            "gbps": round(gbps, 3), "blocks": plan.num_blocks}
+    log(f"m={m:>11,d} dl={plan.dec_len:>5d}: {t*1e3:8.3f} ms = "
+        f"{gbps:5.2f} Gb/s ({plan.num_blocks} blocks)")
+    return {"message_len": m, "dec_len": plan.dec_len,
+            "decode_seconds": round(t, 8), "gbps": round(gbps, 3),
+            "blocks": plan.num_blocks}
 
 
 def main():
-    rows = [point(m) for m in (1_000_000, 4_000_000, 16_000_000,
-                               32_000_000, 64_000_000, 128_000_000)]
+    log(f"device: {jax.devices()[0]}")
+    rows = [point(m) for m in (99_968, 249_984, 1_000_000, 4_000_000,
+                               16_000_000, 32_000_000, 64_000_000,
+                               128_000_000)]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench", "scaling_curve.json")
     with open(out, "w") as f:
