@@ -97,6 +97,16 @@ def test_ingraph_simulation_on_chip():
 
 
 @requires_tpu
+def test_pod_runbook_single_chip():
+    """The pod-readiness runbook (bringup -> aligned zero-copy sharded
+    decode -> census -> linearity) must PASS end to end on the real chip
+    (1-device mesh: census is skipped there, the aligned branch runs the
+    REAL Pallas kernel with the ppermute wrapping to self, and the
+    linearity step slope-times it)."""
+    _run("pod_runbook.py", "-n", "4194304")
+
+
+@requires_tpu
 def test_pack_precision_and_fp32_ud_exact():
     """r3 staging exactness: DEFAULT-precision pack matmuls for <=8-bit
     fields, HIGH-precision one-hot FP32 deinterleave, FP32 u/d word-mode
