@@ -73,6 +73,8 @@ def test_two_process_distributed_decode():
     _run_processes(2, 4)
 
 
+@pytest.mark.slow   # second multi-process spawn; the 2-process test
+                    # stays fast as the DCN-wiring representative
 def test_four_process_distributed_decode_b16():
     """4 processes x 2 devices (the >2-process DCN path, VERDICT r3
     item 7) with O_B16 output — covering process_allgather of the uint16

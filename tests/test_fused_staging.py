@@ -18,9 +18,14 @@ from tpu_viterbi.decoder.core_pallas import decode_packed_pallas
 from tpu_viterbi.decoder.core_xla import plan_blocks
 
 
+# slow tier: the SOFT16/O_B16 case (also the only sub-WARMUP non-roll
+# staging with 16-bit packs in the fast tier) and HARD (halo spanning
+# multiple blocks, unique to this file) stay fast; rest with --full
 @pytest.mark.parametrize("channel,decode_out,dec_len,b,extra_m", [
-    (ChannelIn.SOFT8, DecodeOut.O_B32, 96, 3, 0),
-    (ChannelIn.SOFT4, DecodeOut.O_B32, 128, 2, 64),   # left-shifted last
+    pytest.param(ChannelIn.SOFT8, DecodeOut.O_B32, 96, 3, 0,
+                 marks=pytest.mark.slow),
+    pytest.param(ChannelIn.SOFT4, DecodeOut.O_B32, 128, 2, 64,
+                 marks=pytest.mark.slow),              # partial last block
     (ChannelIn.HARD, DecodeOut.O_B32, 32, 5, 0),      # halo spans blocks
     (ChannelIn.SOFT16, DecodeOut.O_B16, 48, 3, 0),
 ])

@@ -17,7 +17,8 @@ from tpu_viterbi.utils.bits import unpack_msb_first
 
 
 @pytest.mark.parametrize("decode_out,dec_len,b",
-                         [(DecodeOut.O_B32, 96, 3),
+                         [pytest.param(DecodeOut.O_B32, 96, 3,
+                                       marks=pytest.mark.slow),
                           (DecodeOut.O_B16, 64, 2)])
 def test_kernel_interpret_matches_golden(rng, decode_out, dec_len, b):
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8, decode_out=decode_out)
@@ -34,6 +35,8 @@ def test_kernel_interpret_matches_golden(rng, decode_out, dec_len, b):
         assert np.array_equal(bits[off:off + dec_len], want), f"block {k}"
 
 
+@pytest.mark.slow   # 4 interpret compiles (~3 min); the shipped 'pack'
+                    # layout is covered fast by test_word_mode_golden
 def test_soft16_unpack_layouts(rng):
     """The four SOFT16 per-stage unpack structures (s16= kwarg:
     pack/halves/lazy/group — measured identical on chip by

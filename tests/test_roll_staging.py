@@ -35,10 +35,16 @@ from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,
 from tpu_viterbi.decoder.core_xla import decode_packed_xla, plan_blocks
 
 
+# slow tier (interpret compiles, ~30-60 s each): the FP32 case stays in
+# the fast tier as the representative (u/d word mode rides the same
+# body/edge staging); the full matrix runs with --full
 @pytest.mark.parametrize("channel,dec_len,n", [
-    (ChannelIn.SOFT8, 96, 20_000),    # 208 blocks -> 2 tiles, overlap 32
-    (ChannelIn.HARD, 64, 20_000),     # zero-word tail unpacks to -1
-    (ChannelIn.SOFT16, 64, 9_000),    # double-width words
+    pytest.param(ChannelIn.SOFT8, 96, 20_000,
+                 marks=pytest.mark.slow),  # 208 blocks -> 2 tiles
+    pytest.param(ChannelIn.HARD, 64, 20_000,
+                 marks=pytest.mark.slow),  # zero-word tail unpacks to -1
+    pytest.param(ChannelIn.SOFT16, 64, 9_000,
+                 marks=pytest.mark.slow),  # double-width words
     (ChannelIn.FP32, 64, 9_000),      # u/d word mode rides the same path
 ])
 def test_roll_staging_matches_xla_core(rng, channel, dec_len, n):
@@ -59,6 +65,7 @@ def test_roll_staging_matches_xla_core(rng, channel, dec_len, n):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_roll_staging_pad_contract(rng):
     """Exact-length, zero-copy-padded, and over-padded inputs decode
     identically (padded_input_words is advisory, never semantic)."""
@@ -79,6 +86,8 @@ def test_roll_staging_pad_contract(rng):
         np.testing.assert_array_equal(got, want, err_msg=f"len={length}")
 
 
+@pytest.mark.slow   # the tail_halo contract also runs every round in
+                    # dryrun_multichip + tests/test_sharded_aligned.py
 def test_tail_halo_matches_concat(rng):
     """The sharded zero-copy path delivers the cross-device halo via the
     tile-edge side input (decode_packed_pallas tail_halo) instead of

@@ -70,6 +70,8 @@ def _run(cfg, sd, mesh, packed, backend, survivor="auto"):
     return out, info
 
 
+@pytest.mark.slow   # ~100 s of interpret compiles; also certified every
+                    # round by dryrun_multichip's aligned step
 def test_aligned_tail_halo_branch_runs_and_matches_at_8_devices():
     n = N_DEV * SD_ALIGNED
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
@@ -106,6 +108,7 @@ def test_aligned_tail_halo_branch_runs_and_matches_at_8_devices():
     assert err <= m // 10_000
 
 
+@pytest.mark.slow
 def test_aligned_windowed_survivor_at_8_devices():
     """The one-pointer survivor window riding the tail_halo edge input:
     an explicitly requested window is honored on the interpret backend

@@ -124,6 +124,9 @@ def test_streaming_oneshot_contract_all_channels(channel):
     assert np.array_equal(stream, bits[EXTRA_L: EXTRA_L + m]), channel
 
 
+@pytest.mark.slow   # kernel-path streaming (interpret compiles); the
+                    # streaming logic itself is covered fast on the XLA
+                    # core by the tests above
 @pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT8])
 def test_streaming_pallas_backend(channel):
     """The streaming wrapper over the production Pallas kernel path
@@ -147,6 +150,7 @@ def test_streaming_pallas_backend(channel):
     assert len(got_p) * 32 == m
 
 
+@pytest.mark.slow
 def test_streaming_windowed_survivor():
     """Streaming over the one-pointer circular survivor kernel
     (survivor='window', VERDICT r3 item 6: StreamingViterbi now plumbs the

@@ -44,11 +44,20 @@ def _coded(n, sigma, channel, seed):
                                         _SCALES[channel]))
 
 
-@pytest.mark.parametrize("sigma", [0.0, 0.5], ids=["clean", "noisy"])
-@pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT4,
-                                     ChannelIn.SOFT8, ChannelIn.SOFT16,
-                                     ChannelIn.FP32],
-                         ids=lambda c: c.name)
+# slow tier (each case is a pair of interpret compiles, ~45-60 s): the
+# SOFT8/noisy case stays fast as the representative; the full channel x
+# sigma matrix runs with --full and on-chip via check_pack_exact.py
+@pytest.mark.parametrize("sigma", [
+    pytest.param(0.0, marks=pytest.mark.slow, id="clean"),
+    pytest.param(0.5, id="noisy"),
+])
+@pytest.mark.parametrize("channel", [
+    pytest.param(ChannelIn.HARD, marks=pytest.mark.slow, id="HARD"),
+    pytest.param(ChannelIn.SOFT4, marks=pytest.mark.slow, id="SOFT4"),
+    pytest.param(ChannelIn.SOFT8, id="SOFT8"),
+    pytest.param(ChannelIn.SOFT16, marks=pytest.mark.slow, id="SOFT16"),
+    pytest.param(ChannelIn.FP32, marks=pytest.mark.slow, id="FP32"),
+])
 def test_window_matches_full(rng, channel, sigma):
     cfg = DecoderConfig(channel_in=channel)
     bpp = cfg.bits_per_pack

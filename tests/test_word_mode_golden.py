@@ -21,9 +21,20 @@ from tpu_viterbi.decoder.core_xla import plan_blocks
 from tpu_viterbi.decoder.golden import golden_decode_block
 from tpu_viterbi.utils.bits import unpack_msb_first
 
-CHANNELS = [ChannelIn.HARD, ChannelIn.SOFT4, ChannelIn.SOFT8,
-            ChannelIn.SOFT16, ChannelIn.FP32]
-OUTS = [DecodeOut.O_B32, DecodeOut.O_B16]
+# slow-tier split (each case is an interpret compile, 13-29 s): the fast
+# tier keeps the fused-staging golden check for the three widest-coverage
+# channels at O_B32 (SOFT8 headline, SOFT16 double-width words, FP32 u/d
+# mode); HARD/SOFT4 and the O_B16 output rows run with --full (O_B16 vs
+# golden stays fast via test_kernel_interpret + test_fused_staging)
+CHANNELS = [pytest.param(ChannelIn.HARD, marks=pytest.mark.slow,
+                         id="HARD"),
+            pytest.param(ChannelIn.SOFT4, marks=pytest.mark.slow,
+                         id="SOFT4"),
+            pytest.param(ChannelIn.SOFT8, id="SOFT8"),
+            pytest.param(ChannelIn.SOFT16, id="SOFT16"),
+            pytest.param(ChannelIn.FP32, id="FP32")]
+OUTS = [pytest.param(DecodeOut.O_B32, id="O_B32"),
+        pytest.param(DecodeOut.O_B16, marks=pytest.mark.slow, id="O_B16")]
 
 
 @pytest.fixture(autouse=True)
@@ -72,7 +83,8 @@ def _check_against_golden(bits, r, plan, ctx, hard=False):
 @pytest.mark.parametrize("channel", CHANNELS, ids=lambda c: c.name)
 def test_packed_pallas_interpret_matches_golden(rng, channel, decode_out):
     """Production entry (fused staging + in-kernel unpack) vs golden,
-    with a left-shifted last block (message_len not a dec_len multiple)."""
+    with a partial (natural-framed) last block (message_len not a
+    dec_len multiple)."""
     cfg = DecoderConfig(channel_in=channel, decode_out=decode_out)
     bpp = cfg.bits_per_pack
     dec_len = 3 * bpp
@@ -91,6 +103,7 @@ def test_packed_pallas_interpret_matches_golden(rng, channel, decode_out):
                           hard=channel == ChannelIn.HARD)
 
 
+@pytest.mark.slow   # fused=False is the A/B staging path, not production
 @pytest.mark.parametrize("channel", [ChannelIn.HARD, ChannelIn.SOFT4,
                                      ChannelIn.SOFT8, ChannelIn.SOFT16],
                          ids=lambda c: c.name)
@@ -112,6 +125,8 @@ def test_packed_pallas_unfused_interpret_matches_golden(rng, channel):
                           hard=channel == ChannelIn.HARD)
 
 
+@pytest.mark.slow   # FP32 u/d-vs-value equality also runs on-chip via
+                    # scripts/check_pack_exact.py (battery)
 def test_fp32_ud_matches_value(rng):
     """FP32 u/d word mode (pre-trunc'd integer staging,
     core_xla.fp32_ud_words) must be BIT-identical to the two-stream float
