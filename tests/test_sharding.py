@@ -82,6 +82,24 @@ def test_sharded_hard_channel():
     assert np.array_equal(got, bits[EXTRA_L: EXTRA_L + m])
 
 
+def test_sharded_auto_dec_len():
+    """dec_len='auto' resolves per shard (core_xla.auto_dec_len) through
+    decode_sharded and the in-graph simulation."""
+    import math
+    from tpu_viterbi.sharding.simulate import simulate_sharded
+
+    n = 8 * 2048
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    bits, packed = _workload(n, 0.0)
+    mesh = make_block_mesh(jax.devices()[:8])
+    out, m = decode_sharded(packed, 2 * n, cfg, mesh, dec_len="auto")
+    got = unpack_msb_first(out, 32)[:m]
+    assert np.array_equal(got, bits[EXTRA_L: EXTRA_L + m])
+    ben, _ = simulate_sharded(cfg, n, mesh, snr_db=math.inf, seed=4,
+                              dec_len="auto")
+    assert ben == 0
+
+
 def test_mesh_axis_name():
     mesh = make_block_mesh(jax.devices()[:4])
     assert mesh.shape == {"blocks": 4}

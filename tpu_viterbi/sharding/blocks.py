@@ -94,6 +94,9 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
     if sd % 32:
         raise ValueError("stages_per_device must be a multiple of 32")
     local_words = sd * 2 // cfg.enc_data_per_pack
+    if dec_len == "auto":    # per-shard lane-tile fill (core_xla.auto_dec_len)
+        from ..decoder.core_xla import auto_dec_len
+        dec_len = auto_dec_len(sd, cfg.bits_per_pack)
     plan = plan_blocks(sd, cfg.bits_per_pack, dec_len)
     perm = [((d + 1) % num_devices, d) for d in range(num_devices)]
 
@@ -192,6 +195,11 @@ def decode_sharded(packed_global, input_num: int, cfg: DecoderConfig,
     (packed_output_words, message_len)."""
     num_devices = mesh.shape[BLOCK_AXIS]
     total_stages = input_num // 2
+    if dec_len == "auto":    # resolve against the unaligned shard size
+        from ..decoder.core_xla import auto_dec_len
+        dec_len = auto_dec_len(
+            sharded_stage_count(total_stages, num_devices,
+                                cfg.bits_per_pack), cfg.bits_per_pack)
     # align to lane_tile*dec_len blocks when cheap -> zero-copy decode path
     sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack,
                              align=zero_copy_align_stages(cfg, dec_len))

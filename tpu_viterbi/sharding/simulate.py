@@ -99,6 +99,9 @@ def build_sharded_simulation(cfg: DecoderConfig, message_len: int, mesh,
     num_devices = mesh.shape[BLOCK_AXIS]
     total_stages = message_len
     sd = sharded_stage_count(total_stages, num_devices, cfg.bits_per_pack)
+    if dec_len == "auto":    # per-shard lane-tile fill (core_xla.auto_dec_len)
+        from ..decoder.core_xla import auto_dec_len
+        dec_len = auto_dec_len(sd, cfg.bits_per_pack)
     input_num = 2 * total_stages
     m = cfg.get_message_len(input_num)
     if m <= 0:
