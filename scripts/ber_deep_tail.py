@@ -42,7 +42,10 @@ CASES = {
     "s16/b32": ("SOFT16", "b32", 1.25, 8192),       # windowed survivor
     "s16/b32/full4096": ("SOFT16", "b32", 1.25, 4096),  # full-store A/B
     "f/b32": ("FP32", "b32", 1.25, 8192),           # windowed u/d words
+    "f/b32/value2048": ("FP32", "b32", 1.25, 2048),  # fused VALUE kernel
+                                                     # (the API default)
     "s8/b16": ("SOFT8", "b16", 1.125, 8192),
+    "s8/b16/deep": ("SOFT8", "b16", 1.25, 8192),     # parity w/ b32 depth
 }
 
 

@@ -63,7 +63,12 @@ from ..config import ChannelIn, DecoderConfig, NUM_STATES
 from .core_xla import (WARMUP, BlockPlan, assemble_output,
                        needs_int32_renorm, overlapped_windows)
 
-LANE_TILE = 128  # blocks per kernel program (VPU lane width)
+# Blocks per kernel program = the VPU lane width.  Unlike the VMEM budget
+# this is NOT a per-device-kind knob: every TPU generation's vector lane
+# axis is 128 wide, and both smaller (wasted lanes) and larger
+# (lane_tile 256: 63.2 vs 27 ns/stage, BASELINE.md r3) values measured
+# strictly worse, so 128 is an architectural constant here.
+LANE_TILE = 128
 
 # Per-core scoped-VMEM budget the kernel's static buffers must fit in —
 # resolved per device kind (with an env override) by hardware.py, NOT a
