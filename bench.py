@@ -273,12 +273,21 @@ def main():
         raw = min(tl)
         gbps = m / kernel_s / 1e9
 
-    if kernel_s < 2e-6:
+    # Credibility sentinel, scaled with size: a single chip cannot beat
+    # ~10 Gb/s even at the 12.75 ns/stage ALU floor (128 lane-bits/stage),
+    # so an implied >25 Gb/s means the slope was corrupted (memoized or
+    # outlier dispatch) — publish the unreliable-timing sentinel, never an
+    # absurd headline.  (The old fixed 2e-6 threshold only protected
+    # sub-ms decodes; a corrupted 32M-bit slope sailed through it —
+    # code-review r5 finding.)
+    if kernel_s < m / 25e9:
         print(json.dumps({"metric": "decoded_throughput_soft8_b32",
                           "value": 0.0, "unit": "Gb/s", "vs_baseline": 0.0,
                           "message_len": message_len, "ber_at_5p5dB": ber,
-                          "error": "decode faster than timing resolution; "
-                                   "use a larger message_len"}))
+                          "error": f"slope {kernel_s*1e6:.1f} us implies "
+                                   f"{gbps:.0f} Gb/s — beyond the single-"
+                                   "chip credibility bound; timing "
+                                   "corrupted (relay memoization/outlier)"}))
         return 0
     if ber > 1e-2:
         print(json.dumps({"metric": "decoded_throughput_soft8_b32",
@@ -357,7 +366,8 @@ def main():
         e2e_s = max((min(th) - min(tl)) / (K_e2e - 1), 1e-9)
         _log(f"e2e (K={K_e2e}) t_1: {[f'{t*1e3:.1f}ms' for t in tl]}  "
              f"t_K: {[f'{t*1e3:.1f}ms' for t in th]}  BEN={ben_e2e}")
-        if e2e_s > 2e-6 and ben_e2e / m_e2e < 1e-2:
+        # same size-scaled credibility bound as the decode sentinel
+        if e2e_s > m_e2e / 25e9 and ben_e2e / m_e2e < 1e-2:
             result["e2e_seconds"] = round(e2e_s, 6)
             result["e2e_gbps"] = round(m_e2e / e2e_s / 1e9, 3)
     except Exception as e:  # e2e is a secondary metric; never fail the run

@@ -100,13 +100,10 @@ def main():
     import numpy as np
 
     from tpu_viterbi import hardware
-    from tpu_viterbi.chain.encode import conv_encode_np
-    from tpu_viterbi.chain.quantize import quantize_and_pack
     from tpu_viterbi.config import ChannelIn, DecoderConfig
     from tpu_viterbi.decoder.core_pallas import LANE_TILE
-    from tpu_viterbi.sharding.blocks import build_sharded_decoder
+    from tpu_viterbi.sharding.certify import coded_workload, run_sharded
     from tpu_viterbi.sharding.mesh import make_block_mesh
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     report = {"steps": {}, "ok": True}
 
@@ -141,26 +138,14 @@ def main():
     backend = "auto" if on_tpu else "pallas-interpret"
     log(f"aligned decode: {n_bits} bits over {n_dev} devices "
         f"(sd={sd}, dec_len={dec_len}, backend={backend})")
-    rng = np.random.default_rng(17)
-    bits = rng.integers(0, 2, n_bits).astype(np.uint8)
-    sym = 2 * conv_encode_np(bits).astype(np.float32) - 1
-    sym += rng.normal(0, 0.4, sym.shape).astype(np.float32)
+    # shared certification recipe (sharding/certify.py) — the same
+    # workload + run wrapper the 8-device CI and dryrun certify with
+    bits, packed = coded_workload(n_bits, sigma=0.4, seed=17)
     cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
-    packed = np.asarray(quantize_and_pack(jnp.asarray(sym),
-                                          ChannelIn.SOFT8, 32.0))
 
     def run_backend(bk):
-        fn, plan, local_words, info = build_sharded_decoder(
-            cfg, sd, mesh, dec_len, backend=bk)
-        need = n_dev * local_words
-        arr = np.pad(packed.astype(np.int32),
-                     (0, max(0, need - len(packed))))[:need]
-        x = jax.device_put(arr, NamedSharding(mesh, P("blocks")))
-        out = jax.block_until_ready(fn(x))
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            out = multihost_utils.process_allgather(out, tiled=True)
-        return np.asarray(out), info, fn, x
+        return run_sharded(cfg, sd, mesh, dec_len, packed, backend=bk,
+                           allgather=True)
 
     out_p, info_p, fn_p, x_dev = run_backend(backend)
     m = cfg.get_message_len(2 * n_bits)

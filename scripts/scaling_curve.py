@@ -22,6 +22,7 @@ from tpu_viterbi.decoder.core_pallas import (decode_packed_pallas,  # noqa: E402
                                              padded_input_words)
 from tpu_viterbi.decoder.core_xla import (auto_dec_len,  # noqa: E402
                                           plan_blocks)
+from timing_util import amplified_slope  # noqa: E402
 
 T0 = time.time()
 
@@ -37,9 +38,8 @@ def point(m, dl=None, reps=3, target_s=0.04):
     n_words = padded_input_words(cfg, plan)   # zero-copy staging length
     gen = jax.jit(lambda k: jax.random.randint(
         k, (n_words,), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32))
-    n_xs = 4 if m <= 64_000_000 else 3
     xs = [jax.block_until_ready(gen(jax.random.PRNGKey(17 + i)))
-          for i in range(n_xs)]
+          for i in range(reps + 1)]
     K = max(2, min(2048, int(target_s / (m / 4.5e9)) + 1))
 
     def mk(k):
@@ -50,19 +50,14 @@ def point(m, dl=None, reps=3, target_s=0.04):
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return jax.jit(run)
 
-    f1, fK = mk(1), mk(K)
-    np.asarray(f1(xs[0]))
-    np.asarray(fK(xs[0]))
-    t1s, tKs = [], []
-    for j in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f1(xs[(2 * j + 1) % n_xs]))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fK(xs[(2 * j + 2) % n_xs]))
-        tKs.append(time.perf_counter() - t0)
-    t = (min(tKs) - min(t1s)) / (K - 1)
+    t = amplified_slope(mk, xs, K, reps=reps)
     del xs
+    if t <= 0:
+        # relay jitter ate the differential — flag, never publish garbage
+        log(f"m={m:>11,d} dl={plan.dec_len:>5d}: NON-POSITIVE slope "
+            f"({t*1e3:.3f} ms), row flagged")
+        return {"message_len": m, "dec_len": plan.dec_len,
+                "blocks": plan.num_blocks, "slope_nonpositive": True}
     gbps = m / t / 1e9
     log(f"m={m:>11,d} dl={plan.dec_len:>5d}: {t*1e3:8.3f} ms = "
         f"{gbps:5.2f} Gb/s ({plan.num_blocks} blocks)")

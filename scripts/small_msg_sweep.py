@@ -35,6 +35,7 @@ from tpu_viterbi.decoder.core_pallas import (LANE_TILE,  # noqa: E402
                                              padded_input_words)
 from tpu_viterbi.decoder.core_xla import (auto_dec_len,  # noqa: E402
                                           plan_blocks)
+from timing_util import amplified_slope  # noqa: E402
 
 T0 = time.time()
 
@@ -50,7 +51,7 @@ def point(m, dl, reps=3, target_s=0.04):
     gen = jax.jit(lambda k: jax.random.randint(
         k, (n_words,), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32))
     xs = [jax.block_until_ready(gen(jax.random.PRNGKey(100 * dl + i)))
-          for i in range(4)]
+          for i in range(reps + 1)]
 
     t_est = m / 4.5e9
     K = max(2, min(2048, int(target_s / t_est) + 1))
@@ -63,22 +64,17 @@ def point(m, dl, reps=3, target_s=0.04):
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return jax.jit(run)
 
-    f1, fK = mk(1), mk(K)
-    np.asarray(f1(xs[0]))
-    np.asarray(fK(xs[0]))
-    t1s, tKs = [], []
-    n = len(xs)
-    for j in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f1(xs[(2 * j + 1) % n]))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fK(xs[(2 * j + 2) % n]))
-        tKs.append(time.perf_counter() - t0)
-    t = (min(tKs) - min(t1s)) / (K - 1)
-    gbps = m / t / 1e9
+    t = amplified_slope(mk, xs, K, reps=reps)
     tiles = -(-plan.num_blocks // LANE_TILE)
     stages = tiles * plan.n_packs * plan.bits_per_pack
+    if t <= 0:
+        # relay jitter ate the differential — flag, never publish garbage
+        log(f"m={m:>10,d} dl={plan.dec_len:>5d}: K={K:4d} NON-POSITIVE "
+            f"slope ({t*1e6:.1f} us), row flagged")
+        return {"message_len": m, "dec_len": plan.dec_len, "K": K,
+                "blocks": plan.num_blocks, "tiles": tiles,
+                "slope_nonpositive": True}
+    gbps = m / t / 1e9
     ns_stage = t * 1e9 / stages
     log(f"m={m:>10,d} dl={plan.dec_len:>5d}: K={K:4d} {t*1e6:8.1f} us = "
         f"{gbps:5.2f} Gb/s  ({plan.num_blocks:>5d} blocks, {tiles:>3d} "

@@ -19,15 +19,12 @@ tests/test_roll_staging.py; this is the cross-device wiring on top.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from tpu_viterbi.chain.encode import conv_encode_np
-from tpu_viterbi.chain.quantize import quantize_and_pack
 from tpu_viterbi.config import ChannelIn, DecoderConfig
 from tpu_viterbi.sharding.blocks import build_sharded_decoder
+from tpu_viterbi.sharding.certify import coded_workload, run_sharded
 from tpu_viterbi.sharding.mesh import make_block_mesh
 from tpu_viterbi.utils.bits import unpack_msb_first
 
@@ -48,25 +45,14 @@ def _clear_jit_caches():
 
 
 def _coded_workload(n, sigma, seed=23):
-    rng = np.random.default_rng(seed)
-    bits = rng.integers(0, 2, n).astype(np.uint8)
-    sym = 2 * conv_encode_np(bits).astype(np.float32) - 1
-    if sigma:
-        sym = sym + rng.normal(0, sigma, sym.shape).astype(np.float32)
-    packed = np.asarray(quantize_and_pack(jnp.asarray(sym),
-                                          ChannelIn.SOFT8, 32.0))
-    return bits, packed
+    # shared certification recipe (sharding/certify.py) — the same
+    # workload builder the dryrun and pod runbook certify with
+    return coded_workload(n, sigma, seed)
 
 
 def _run(cfg, sd, mesh, packed, backend, survivor="auto"):
-    fn, plan, local_words, info = build_sharded_decoder(
-        cfg, sd, mesh, DEC_LEN, survivor=survivor, backend=backend)
-    need = N_DEV * local_words
-    arr = packed.astype(np.int32)
-    arr = np.pad(arr, (0, need - len(arr))) if len(arr) < need \
-        else arr[:need]
-    x = jax.device_put(arr, NamedSharding(mesh, P("blocks")))
-    out = np.asarray(jax.block_until_ready(fn(x)))
+    out, info, _fn, _x = run_sharded(cfg, sd, mesh, DEC_LEN, packed,
+                                     backend=backend, survivor=survivor)
     return out, info
 
 

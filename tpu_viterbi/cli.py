@@ -242,11 +242,12 @@ def main(argv=None) -> int:
         trace_cm = jax.profiler.trace(args.profile)
     else:
         trace_cm = contextlib.nullcontext()
+    from .config import ConfigResolutionError
     if args.e2e_device:
         try:
             with trace_cm:
                 return run_e2e_device(args, cfg)
-        except ValueError as e:
+        except ConfigResolutionError as e:
             print(f"Error: {e}", file=sys.stderr)
             return -1
     try:
@@ -257,10 +258,12 @@ def main(argv=None) -> int:
                                      backend=args.backend,
                                      time_mode=args.time_mode,
                                      survivor=args.survivor)
-    except ValueError as e:
+    except ConfigResolutionError as e:
         # unhonorable flag combinations resolved at build time (e.g.
         # --survivor window on a backend=auto run that falls back to the
-        # XLA core off-TPU) — reference-style error line, not a traceback
+        # XLA core off-TPU) — reference-style error line, not a traceback.
+        # Deliberately NOT a blanket ValueError: any other error is a real
+        # bug and must keep its traceback (code-review r5 finding).
         print(f"Error: {e}", file=sys.stderr)
         return -1
     ber = ben / args.num

@@ -14,6 +14,16 @@ import dataclasses
 import enum
 
 
+class ConfigResolutionError(ValueError):
+    """A flag combination that validated syntactically cannot be honored by
+    the backend it resolved to at build time (e.g. survivor='window' on a
+    run that falls back to the XLA core, or backend='pallas' on a config
+    the kernel does not support).  The CLI converts exactly this class
+    into its reference-style one-line error (main.cpp:26-41 analog); any
+    other ValueError is a real bug and keeps its traceback.  Subclasses
+    ValueError so library callers catching ValueError are unaffected."""
+
+
 class ChannelIn(enum.IntEnum):
     """Input channel quantization (reference: viterbi.h:17)."""
 

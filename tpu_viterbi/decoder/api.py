@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ChannelIn, DecoderConfig
+from ..config import ChannelIn, ConfigResolutionError, DecoderConfig
 from .core_xla import auto_dec_len, decode_packed_xla, plan_blocks
 
 # 2048 balances CPU-path cost against halo overhead; at 32M-bit scale on
@@ -116,7 +116,7 @@ class ViterbiTPU:
             # An explicit window request it cannot honor must fail loudly
             # (the OptionsValid philosophy, viterbi.h:22-41) instead of
             # silently decoding full-store (VERDICT r4 item 4).
-            raise ValueError(
+            raise ConfigResolutionError(
                 "survivor='window' requires the Pallas kernel path, but "
                 f"this run resolves to the XLA core (backend="
                 f"{self.backend!r} on {jax.default_backend()!r}); run on "
@@ -157,8 +157,9 @@ class ViterbiTPU:
             return False
         ok = pallas_supported(self.config, plan, window=window)
         if self.backend == "pallas" and not ok:
-            raise ValueError("pallas backend requested but unsupported for "
-                             f"config={self.config} plan={plan}")
+            raise ConfigResolutionError(
+                "pallas backend requested but unsupported for "
+                f"config={self.config} plan={plan}")
         return ok
 
     _input_num: Optional[int] = None
@@ -258,6 +259,12 @@ class ViterbiTPU:
         (e.g. a dev relay) it approaches floor+kernel rather than the
         slope figure; BASELINE.md records the measured gap."""
         cfg = self.config
+        if cfg.get_message_len(input_num) <= 0:
+            # same loud rejection as run(): without it a too-short stream
+            # fails deep inside plan_blocks with a misleading error
+            raise ValueError(
+                f"input_num={input_num} yields no decodable message bits "
+                f"(need > {2 * (cfg.extra_l + cfg.extra_r)} encoded bits)")
         words = cfg.get_input_words(input_num)
         self._warm(input_num)
         xs = []

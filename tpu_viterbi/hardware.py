@@ -128,8 +128,20 @@ def probe_vmem_budget(lo: int = 4 * 10 ** 6, hi: int = 192 * 10 ** 6,
         try:
             jax.jit(call).lower().compile()
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            # Only the scoped-allocation rejection means "over budget".
+            # Treating ANY failure (relay hiccup, unrelated compile error)
+            # as over-budget would silently converge the search to a
+            # too-small budget and demote every future plan on this chip
+            # (code-review r5 finding) — anything else must surface.
+            msg = str(e).lower()
+            if ("scoped allocation" in msg or "vmem" in msg
+                    or "resource_exhausted" in msg
+                    or "resource exhausted" in msg):
+                return False
+            raise RuntimeError(
+                f"probe compile at {nbytes} bytes failed for a reason "
+                f"other than the scoped-VMEM limit: {e}") from e
 
     if not fits(lo):
         raise RuntimeError(f"probe floor {lo} bytes already fails to "

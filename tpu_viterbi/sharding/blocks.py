@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..config import ChannelIn, DecoderConfig
+from ..config import ChannelIn, ConfigResolutionError, DecoderConfig
 from ..decoder.core_xla import WARMUP, decode_packed_xla, plan_blocks
 from .mesh import BLOCK_AXIS
 
@@ -119,8 +119,9 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
             win = resolve_window(survivor, cfg, plan)
             use_pallas = interp or pallas_supported(cfg, plan, window=win)
             if backend == "pallas" and not use_pallas:
-                raise ValueError("pallas backend requested but unsupported "
-                                 f"for config={cfg} plan={plan}")
+                raise ConfigResolutionError(
+                    "pallas backend requested but unsupported "
+                    f"for config={cfg} plan={plan}")
         except ImportError:
             if backend in ("pallas", "pallas-interpret"):
                 raise
@@ -129,7 +130,7 @@ def build_sharded_decoder(cfg: DecoderConfig, stages_per_device: int,
         # circular buffer lives in the Pallas kernel; an explicit window
         # request the XLA fallback cannot honor must not silently decode
         # full-store (VERDICT r4 item 4)
-        raise ValueError(
+        raise ConfigResolutionError(
             "survivor='window' requires the Pallas kernel path, but this "
             f"sharded decode resolves to the XLA core (backend="
             f"{backend!r}); run on TPU, use backend='pallas-interpret', "
