@@ -41,9 +41,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(
         prog="tpu_viterbi",
         description="TPU-native Viterbi decoder simulation chain")
-    p.add_argument("-n", "--num", type=int, default=32_000_000,
+    p.add_argument("-n", "--num", type=int, default=None,
                    help="message length (default 32000000)")
-    p.add_argument("-s", "--snr", type=float, default=15.0,
+    p.add_argument("-s", "--snr", type=float, default=None,
                    help="SNR in dB (sigma = 10^(-SNR/5); default 15.0)")
     p.add_argument("-i", "--input", choices=sorted(_CHANNEL_NAMES),
                    default="HARD", help="input channel type")
@@ -88,7 +88,66 @@ def parse_args(argv=None):
                         "'pallas' = fused counter-mode kernel "
                         "(chain/genkernel.py), 'xla' = element chain, "
                         "'auto' = pallas on TPU")
+    p.add_argument("--decode-file", metavar="PATH", default=None,
+                   help="decode a real packed channel stream from PATH "
+                        "instead of simulating: raw little-endian words in "
+                        "the getInputSize layout (int32 for HARD/SOFT*, "
+                        "float32 for FP32; viterbi.cu:64-84), inputNum "
+                        "derived from the file size exactly as the "
+                        "reference adapter does (viterbiDF.h:190)")
+    p.add_argument("--out-file", metavar="PATH", default=None,
+                   help="with --decode-file: where to write the packed "
+                        "decoded words (uint32 for -o b32, uint16 for "
+                        "b16; default <decode-file>.dec)")
+    p.add_argument("--emit-file", metavar="PATH", default=None,
+                   help="simulation mode: also write the packed channel "
+                        "stream the chain produced to PATH, in the exact "
+                        "format --decode-file reads back")
     return p.parse_args(argv)
+
+
+def run_decode_file(args, cfg: DecoderConfig) -> int:
+    """--decode-file: serve a real decode — read packed channel words,
+    run the pre-compiled decoder, write packed output words.  The one
+    mode with no simulated ground truth, so it reports size + kernel
+    time instead of BEN/BER."""
+    from .decoder.api import DEFAULT_DEC_LEN, ViterbiTPU
+
+    in_dtype = np.float32 if cfg.channel_in == ChannelIn.FP32 else np.int32
+    try:
+        raw = np.fromfile(args.decode_file, dtype=in_dtype)
+    except OSError as e:
+        print(f"Error: cannot read {args.decode_file}: {e}",
+              file=sys.stderr)
+        return 1
+    # inputNum = packed words x values-per-word (viterbiDF.h:190)
+    input_num = raw.shape[0] * cfg.enc_data_per_pack
+    m = cfg.get_message_len(input_num)
+    if m <= 0:
+        print(f"Error: {args.decode_file} holds {raw.shape[0]} words "
+              f"({input_num} encoded bits) — no decodable bits after the "
+              f"{cfg.extra_l}+{cfg.extra_r}-bit overlap-save framing.",
+              file=sys.stderr)
+        return 1
+    if args.verbose:
+        print(f"Input file: {args.decode_file} ({raw.shape[0]} words, "
+              f"{input_num} encoded bits, {m} message bits)")
+    dec = ViterbiTPU(cfg, dec_len=args.dec_len or DEFAULT_DEC_LEN,
+                     backend=args.backend, time_mode=args.time_mode,
+                     survivor=args.survivor)
+    out, kernel_s = dec.run(raw, input_num)
+    out_path = args.out_file or args.decode_file + ".dec"
+    out.tofile(out_path)
+    if args.verbose and kernel_s is not None:
+        # reference kernel-time pretty-print (viterbiDF.h:197-208)
+        ms = kernel_s * 1e3
+        t = (f"{ms * 1e3:.3f} us" if ms < 1.0 else
+             f"{ms:.3f} ms" if ms < 1000.0 else f"{ms / 1e3:.3f} s")
+        print(f"Kernel time: {t}  ({m / kernel_s / 1e9:.3f} Gb/s)")
+    print("Decode executed.")
+    print(f"Final results -> {m} bits decoded to {out_path} "
+          f"({out.nbytes} bytes)")
+    return 0
 
 
 def run_e2e_device(args, cfg: DecoderConfig) -> int:
@@ -129,7 +188,7 @@ def run_e2e_device(args, cfg: DecoderConfig) -> int:
 def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
                  verbose: bool = False, seed=None, dec_len=None,
                  backend: str = "auto", time_mode: str = "wall",
-                 survivor: str = "auto"):
+                 survivor: str = "auto", emit_file=None):
     """Build and run the full chain; returns (BEN, pipeline, decoded_words).
     (reference: main.cpp:119-172 runPipeline)"""
     if seed is None:
@@ -142,8 +201,15 @@ def run_pipeline(message_len: int, snr: float, cfg: DecoderConfig,
     viterbi = ViterbiDecoder(cfg, backend=backend, time_mode=time_mode,
                              survivor=survivor, **kwargs)
 
+    if emit_file:
+        packer.probe()   # capture the packed stream mid-pipeline
     pipe = rand_gen.probe() | conv_enc | noise | packer | viterbi
     result = pipe.run()
+    if emit_file:
+        # raw little-endian words in the getInputSize layout — exactly
+        # what --decode-file reads back (probed_outputs[1]: the packer
+        # sits after the probed source)
+        np.asarray(result.probed_outputs[1]).tofile(emit_file)
 
     if verbose:
         print()
@@ -190,15 +256,40 @@ def main(argv=None) -> int:
 
     cfg = DecoderConfig(**cfg_fields)
 
-    if cfg.get_message_len(2 * args.num) <= 0:
+    if args.decode_file:
+        # file mode is a real decode — the simulation knobs make no sense
+        # here; reject rather than silently ignore (OptionsValid
+        # philosophy, viterbi.h:22-41)
+        for bad, flag in ((args.num is not None, "-n/--num"),
+                          (args.snr is not None, "-s/--snr"),
+                          (args.seed is not None, "--seed"),
+                          (args.emit_file is not None, "--emit-file"),
+                          (args.e2e_device, "--e2e-device"),
+                          (args.generator != "auto", "--generator")):
+            if bad:
+                print(f"Error: {flag} is not applicable with --decode-file "
+                      "(the file IS the channel stream).", file=sys.stderr)
+                return -1
+    elif args.out_file is not None:
+        print("Error: --out-file requires --decode-file (simulation mode "
+              "verifies in memory; use --emit-file to dump its packed "
+              "stream).", file=sys.stderr)
+        return -1
+    if args.num is None:
+        args.num = 32_000_000        # reference default (main.cpp:176)
+    if args.snr is None:
+        args.snr = 15.0              # reference default (main.cpp:177)
+
+    if not args.decode_file and cfg.get_message_len(2 * args.num) <= 0:
         print(f"Error: message length {args.num} too short — no decodable "
               f"bits after the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
               f"framing.", file=sys.stderr)
         return 1
 
     if args.verbose:
-        print(f"Message Length: {args.num}")
-        print(f"SNR: {args.snr} dB")
+        if not args.decode_file:
+            print(f"Message Length: {args.num}")
+            print(f"SNR: {args.snr} dB")
         print(f"Input Channel Type: {_CHANNEL_PRETTY[cfg.channel_in]}")
         metric_pretty = {"M_B16": "16-bit", "M_B32": "32-bit",
                          "M_FP16": "FP16"}[cfg.metric.name]
@@ -252,12 +343,15 @@ def main(argv=None) -> int:
             return -1
     try:
         with trace_cm:
+            if args.decode_file:
+                return run_decode_file(args, cfg)
             ben, _, _ = run_pipeline(args.num, args.snr, cfg,
                                      verbose=args.verbose, seed=args.seed,
                                      dec_len=args.dec_len,
                                      backend=args.backend,
                                      time_mode=args.time_mode,
-                                     survivor=args.survivor)
+                                     survivor=args.survivor,
+                                     emit_file=args.emit_file)
     except ConfigResolutionError as e:
         # unhonorable flag combinations resolved at build time (e.g.
         # --survivor window on a backend=auto run that falls back to the
