@@ -70,6 +70,27 @@ def test_decode_file_default_out_path(tmp_path):
     assert ben == 0
 
 
+def test_decode_multiple_files_one_decoder(tmp_path):
+    """Several files decode back to back through one decoder instance;
+    each writes its own <file>.dec."""
+    paths = []
+    for i, snr in enumerate(("15", "6")):
+        p = str(tmp_path / f"m{i}.bin")
+        assert cli.main(["-n", str(N), "-s", snr, "-i", "s8",
+                         "--seed", str(SEED), "--emit-file", p]) == 0
+        paths.append(p)
+    assert cli.main(["-i", "s8", "--decode-file", *paths]) == 0
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    bits = _source_bits()
+    for p in paths:
+        dec = np.fromfile(p + ".dec", dtype=np.uint32)
+        assert count_bit_errors(dec, cfg.bits_per_pack, bits,
+                                cfg.extra_l) == 0
+    # --out-file is ambiguous with several inputs
+    assert cli.main(["-i", "s8", "--decode-file", *paths,
+                     "--out-file", str(tmp_path / "o.bin")]) == -1
+
+
 def test_decode_file_flag_conflicts(tmp_path):
     f = str(tmp_path / "x.bin")
     np.zeros(4096, np.int32).tofile(f)

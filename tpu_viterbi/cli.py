@@ -89,16 +89,19 @@ def parse_args(argv=None):
                         "(chain/genkernel.py), 'xla' = element chain, "
                         "'auto' = pallas on TPU")
     p.add_argument("--decode-file", metavar="PATH", default=None,
-                   help="decode a real packed channel stream from PATH "
+                   nargs="+",
+                   help="decode real packed channel stream(s) from PATH(s) "
                         "instead of simulating: raw little-endian words in "
                         "the getInputSize layout (int32 for HARD/SOFT*, "
                         "float32 for FP32; viterbi.cu:64-84), inputNum "
                         "derived from the file size exactly as the "
-                        "reference adapter does (viterbiDF.h:190)")
+                        "reference adapter does (viterbiDF.h:190); several "
+                        "files decode back to back through one decoder "
+                        "(compiled executables cached per input size)")
     p.add_argument("--out-file", metavar="PATH", default=None,
-                   help="with --decode-file: where to write the packed "
-                        "decoded words (uint32 for -o b32, uint16 for "
-                        "b16; default <decode-file>.dec)")
+                   help="with a single --decode-file: where to write the "
+                        "packed decoded words (uint32 for -o b32, uint16 "
+                        "for b16; default <decode-file>.dec)")
     p.add_argument("--emit-file", metavar="PATH", default=None,
                    help="simulation mode: also write the packed channel "
                         "stream the chain produced to PATH, in the exact "
@@ -107,46 +110,53 @@ def parse_args(argv=None):
 
 
 def run_decode_file(args, cfg: DecoderConfig) -> int:
-    """--decode-file: serve a real decode — read packed channel words,
+    """--decode-file: serve real decodes — read packed channel words,
     run the pre-compiled decoder, write packed output words.  The one
     mode with no simulated ground truth, so it reports size + kernel
-    time instead of BEN/BER."""
+    time instead of BEN/BER.  Several files decode back to back through
+    ONE ViterbiTPU instance: its per-size executable cache (api.py
+    _warm) means equal-sized files compile once — the serving posture
+    of run_stream, file-at-a-time."""
     from .decoder.api import DEFAULT_DEC_LEN, ViterbiTPU
 
     in_dtype = np.float32 if cfg.channel_in == ChannelIn.FP32 else np.int32
-    try:
-        raw = np.fromfile(args.decode_file, dtype=in_dtype)
-    except OSError as e:
-        print(f"Error: cannot read {args.decode_file}: {e}",
-              file=sys.stderr)
-        return 1
-    # inputNum = packed words x values-per-word (viterbiDF.h:190)
-    input_num = raw.shape[0] * cfg.enc_data_per_pack
-    m = cfg.get_message_len(input_num)
-    if m <= 0:
-        print(f"Error: {args.decode_file} holds {raw.shape[0]} words "
-              f"({input_num} encoded bits) — no decodable bits after the "
-              f"{cfg.extra_l}+{cfg.extra_r}-bit overlap-save framing.",
-              file=sys.stderr)
-        return 1
-    if args.verbose:
-        print(f"Input file: {args.decode_file} ({raw.shape[0]} words, "
-              f"{input_num} encoded bits, {m} message bits)")
     dec = ViterbiTPU(cfg, dec_len=args.dec_len or DEFAULT_DEC_LEN,
                      backend=args.backend, time_mode=args.time_mode,
                      survivor=args.survivor)
-    out, kernel_s = dec.run(raw, input_num)
-    out_path = args.out_file or args.decode_file + ".dec"
-    out.tofile(out_path)
-    if args.verbose and kernel_s is not None:
-        # reference kernel-time pretty-print (viterbiDF.h:197-208)
-        ms = kernel_s * 1e3
-        t = (f"{ms * 1e3:.3f} us" if ms < 1.0 else
-             f"{ms:.3f} ms" if ms < 1000.0 else f"{ms / 1e3:.3f} s")
-        print(f"Kernel time: {t}  ({m / kernel_s / 1e9:.3f} Gb/s)")
-    print("Decode executed.")
-    print(f"Final results -> {m} bits decoded to {out_path} "
-          f"({out.nbytes} bytes)")
+    total_bits = 0
+    for path in args.decode_file:
+        try:
+            raw = np.fromfile(path, dtype=in_dtype)
+        except OSError as e:
+            print(f"Error: cannot read {path}: {e}", file=sys.stderr)
+            return 1
+        # inputNum = packed words x values-per-word (viterbiDF.h:190)
+        input_num = raw.shape[0] * cfg.enc_data_per_pack
+        m = cfg.get_message_len(input_num)
+        if m <= 0:
+            print(f"Error: {path} holds {raw.shape[0]} words "
+                  f"({input_num} encoded bits) — no decodable bits after "
+                  f"the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
+                  f"framing.", file=sys.stderr)
+            return 1
+        if args.verbose:
+            print(f"Input file: {path} ({raw.shape[0]} words, "
+                  f"{input_num} encoded bits, {m} message bits)")
+        out, kernel_s = dec.run(raw, input_num)
+        out_path = args.out_file or path + ".dec"
+        out.tofile(out_path)
+        if args.verbose and kernel_s is not None:
+            # reference kernel-time pretty-print (viterbiDF.h:197-208)
+            ms = kernel_s * 1e3
+            t = (f"{ms * 1e3:.3f} us" if ms < 1.0 else
+                 f"{ms:.3f} ms" if ms < 1000.0 else f"{ms / 1e3:.3f} s")
+            print(f"Kernel time: {t}  ({m / kernel_s / 1e9:.3f} Gb/s)")
+        print("Decode executed.")
+        print(f"Final results -> {m} bits decoded to {out_path} "
+              f"({out.nbytes} bytes)")
+        total_bits += m
+    if len(args.decode_file) > 1 and args.verbose:
+        print(f"{len(args.decode_file)} files, {total_bits} bits total")
     return 0
 
 
@@ -270,6 +280,11 @@ def main(argv=None) -> int:
                 print(f"Error: {flag} is not applicable with --decode-file "
                       "(the file IS the channel stream).", file=sys.stderr)
                 return -1
+        if args.out_file is not None and len(args.decode_file) > 1:
+            print("Error: --out-file takes a single output path; with "
+                  "several --decode-file inputs each writes <file>.dec.",
+                  file=sys.stderr)
+            return -1
     elif args.out_file is not None:
         print("Error: --out-file requires --decode-file (simulation mode "
               "verifies in memory; use --emit-file to dump its packed "
