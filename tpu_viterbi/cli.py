@@ -150,7 +150,15 @@ def run_decode_file(args, cfg: DecoderConfig) -> int:
             ms = kernel_s * 1e3
             t = (f"{ms * 1e3:.3f} us" if ms < 1.0 else
                  f"{ms:.3f} ms" if ms < 1000.0 else f"{ms / 1e3:.3f} s")
-            print(f"Kernel time: {t}  ({m / kernel_s / 1e9:.3f} Gb/s)")
+            gbps = m / kernel_s / 1e9
+            line = f"Kernel time: {t}  ({gbps:.3f} Gb/s)"
+            if gbps > 25.0:
+                # bench.py's single-chip credibility bound: a wall time
+                # implying this is an async-dispatch artifact (relay
+                # backends where block_until_ready returns early)
+                line += ("  [beyond the single-chip credibility bound — "
+                         "async dispatch; use --time-mode slope]")
+            print(line)
         print("Decode executed.")
         print(f"Final results -> {m} bits decoded to {out_path} "
               f"({out.nbytes} bytes)")
