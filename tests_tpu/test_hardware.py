@@ -107,6 +107,32 @@ def test_pod_runbook_single_chip():
 
 
 @requires_tpu
+def test_cli_file_serving_on_chip(tmp_path):
+    """The CLI serving surface (--decode-file) on the real kernel: a 4M-bit
+    SOFT8 stream written to disk decodes through `cli.main` with BEN=0
+    against its generating ground truth (r5 file mode)."""
+    import jax
+    import numpy as np
+
+    from tpu_viterbi import cli
+    from tpu_viterbi.chain import packed_workload
+    from tpu_viterbi.config import ChannelIn, DecoderConfig
+    from tpu_viterbi.utils.bits import count_bit_errors
+
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    bits, packed = packed_workload(jax.random.PRNGKey(5), 4_000_000,
+                                   ChannelIn.SOFT8, 5.5, 32.0)
+    f = str(tmp_path / "chan.bin")
+    np.asarray(packed, dtype=np.int32).tofile(f)
+    rc = cli.main(["-i", "s8", "--decode-file", f, "--dec-len", "auto"])
+    assert rc == 0
+    dec = np.fromfile(f + ".dec", dtype=np.uint32)
+    ben = count_bit_errors(dec, cfg.bits_per_pack, np.asarray(bits),
+                           cfg.extra_l)
+    assert ben == 0
+
+
+@requires_tpu
 def test_pack_precision_and_fp32_ud_exact():
     """r3 staging exactness: DEFAULT-precision pack matmuls for <=8-bit
     fields, HIGH-precision one-hot FP32 deinterleave, FP32 u/d word-mode
