@@ -91,6 +91,36 @@ def test_decode_multiple_files_one_decoder(tmp_path):
                      "--out-file", str(tmp_path / "o.bin")]) == -1
 
 
+def test_stream_words_matches_one_shot(tmp_path):
+    """--stream-words chunked decode is byte-identical to the one-shot
+    file decode (the streaming push/flush framing contract)."""
+    emit = str(tmp_path / "packed.bin")
+    assert cli.main(["-n", str(N), "-s", "6", "-i", "s8",
+                     "--seed", str(SEED), "--emit-file", emit]) == 0
+    one = str(tmp_path / "one.bin")
+    chunked = str(tmp_path / "chunked.bin")
+    assert cli.main(["-i", "s8", "--decode-file", emit,
+                     "--out-file", one]) == 0
+    assert cli.main(["-i", "s8", "--decode-file", emit, "--out-file",
+                     chunked, "--stream-words", "2048"]) == 0
+    a = np.fromfile(one, dtype=np.uint32)
+    b = np.fromfile(chunked, dtype=np.uint32)
+    assert a.shape == b.shape and np.array_equal(a, b)
+    # and correct vs ground truth
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    assert count_bit_errors(b, cfg.bits_per_pack, _source_bits(),
+                            cfg.extra_l) == 0
+
+
+def test_stream_words_flag_validation(tmp_path):
+    f = str(tmp_path / "x.bin")
+    np.zeros(4096, np.int32).tofile(f)
+    assert cli.main(["--decode-file", f, "--stream-words", "1000"]) == -1
+    assert cli.main(["--decode-file", f, "--stream-words", "2048",
+                     "--time-mode", "slope"]) == -1
+    assert cli.main(["-n", "20000", "--stream-words", "2048"]) == -1
+
+
 def test_decode_file_flag_conflicts(tmp_path):
     f = str(tmp_path / "x.bin")
     np.zeros(4096, np.int32).tofile(f)

@@ -106,7 +106,61 @@ def parse_args(argv=None):
                    help="simulation mode: also write the packed channel "
                         "stream the chain produced to PATH, in the exact "
                         "format --decode-file reads back")
+    p.add_argument("--stream-words", type=int, default=None, metavar="N",
+                   help="with --decode-file: decode in chunks of N packed "
+                        "words through the streaming decoder "
+                        "(decoder/streaming.py overlap-save carry) — "
+                        "fixed host memory for arbitrarily long files, "
+                        "bit-identical output to the one-shot decode; N "
+                        "must be a multiple of 1024")
     return p.parse_args(argv)
+
+
+def _stream_decode_one(args, cfg: DecoderConfig, path: str) -> int:
+    """--decode-file --stream-words N: chunked decode of one file through
+    the overlap-save streaming decoder (decoder/streaming.py) — fixed
+    host memory at any file size, output bit-identical to the one-shot
+    decode of the same stream (its push/flush framing contract)."""
+    from .decoder.api import DEFAULT_DEC_LEN
+    from .decoder.streaming import StreamingViterbi
+
+    in_dtype = np.float32 if cfg.channel_in == ChannelIn.FP32 else np.int32
+    sv = StreamingViterbi(cfg, dec_len=args.dec_len or DEFAULT_DEC_LEN,
+                          backend=args.backend, survivor=args.survivor)
+    out_path = args.out_file or path + ".dec"
+    n_words = emitted_words = n_chunks = 0
+    try:
+        with open(path, "rb") as fi, open(out_path, "wb") as fo:
+            while True:
+                buf = np.fromfile(fi, dtype=in_dtype,
+                                  count=args.stream_words)
+                if buf.size == 0:
+                    break
+                n_words += buf.size
+                n_chunks += 1
+                out = sv.push(buf)
+                out.tofile(fo)
+                emitted_words += out.size
+            out = sv.flush()
+            out.tofile(fo)
+            emitted_words += out.size
+    except OSError as e:
+        print(f"Error: cannot stream {path}: {e}", file=sys.stderr)
+        return 1
+    m = cfg.get_message_len(n_words * cfg.enc_data_per_pack)
+    if m <= 0:
+        print(f"Error: {path} holds {n_words} words — no decodable bits "
+              f"after the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
+              f"framing.", file=sys.stderr)
+        return 1
+    if args.verbose:
+        print(f"Input file: {path} ({n_words} words in {n_chunks} chunks "
+              f"of {args.stream_words})")
+    print("Decode executed.")
+    print(f"Final results -> {emitted_words * cfg.bits_per_pack} bits "
+          f"decoded to {out_path} "
+          f"({emitted_words * (cfg.bits_per_pack // 8)} bytes)")
+    return 0
 
 
 def run_decode_file(args, cfg: DecoderConfig) -> int:
@@ -125,6 +179,11 @@ def run_decode_file(args, cfg: DecoderConfig) -> int:
                      survivor=args.survivor)
     total_bits = 0
     for path in args.decode_file:
+        if args.stream_words:
+            rc = _stream_decode_one(args, cfg, path)
+            if rc != 0:
+                return rc
+            continue
         try:
             raw = np.fromfile(path, dtype=in_dtype)
         except OSError as e:
@@ -293,6 +352,21 @@ def main(argv=None) -> int:
                   "several --decode-file inputs each writes <file>.dec.",
                   file=sys.stderr)
             return -1
+        if args.stream_words is not None:
+            if args.stream_words <= 0 or args.stream_words % 1024:
+                print("Error: --stream-words must be a positive multiple "
+                      "of 1024 (whole-pack alignment across chunks for "
+                      "every channel width).", file=sys.stderr)
+                return -1
+            if args.time_mode != "wall":
+                print("Error: --time-mode is not applicable with "
+                      "--stream-words (chunked decodes are not "
+                      "individually timed).", file=sys.stderr)
+                return -1
+    elif args.stream_words is not None:
+        print("Error: --stream-words requires --decode-file.",
+              file=sys.stderr)
+        return -1
     elif args.out_file is not None:
         print("Error: --out-file requires --decode-file (simulation mode "
               "verifies in memory; use --emit-file to dump its packed "
