@@ -71,7 +71,7 @@ def test_decode_file_default_out_path(tmp_path):
 
 
 def test_decode_multiple_files_one_decoder(tmp_path):
-    """Several files decode back to back through one decoder instance;
+    """Several equal-sized files queue back to back through run_stream;
     each writes its own <file>.dec."""
     paths = []
     for i, snr in enumerate(("15", "6")):
@@ -89,6 +89,24 @@ def test_decode_multiple_files_one_decoder(tmp_path):
     # --out-file is ambiguous with several inputs
     assert cli.main(["-i", "s8", "--decode-file", *paths,
                      "--out-file", str(tmp_path / "o.bin")]) == -1
+
+
+def test_decode_mixed_size_files(tmp_path):
+    """Files of different sizes fall back to the per-file loop (the
+    executable cache still compiles each size once)."""
+    cfg = DecoderConfig(channel_in=ChannelIn.SOFT8)
+    paths, lens = [], (N, N // 2)
+    for i, n in enumerate(lens):
+        p = str(tmp_path / f"m{i}.bin")
+        assert cli.main(["-n", str(n), "-s", "15", "-i", "s8",
+                         "--seed", str(SEED), "--emit-file", p]) == 0
+        paths.append(p)
+    assert cli.main(["-i", "s8", "--decode-file", *paths]) == 0
+    for p, n in zip(paths, lens):
+        dec = np.fromfile(p + ".dec", dtype=np.uint32)
+        bits = np.asarray(RandBitGen(n, seed=SEED).process(None))
+        assert count_bit_errors(dec, cfg.bits_per_pack, bits,
+                                cfg.extra_l) == 0
 
 
 def test_stream_words_matches_one_shot(tmp_path):

@@ -177,6 +177,46 @@ def run_decode_file(args, cfg: DecoderConfig) -> int:
     dec = ViterbiTPU(cfg, dec_len=args.dec_len or DEFAULT_DEC_LEN,
                      backend=args.backend, time_mode=args.time_mode,
                      survivor=args.survivor)
+
+    if len(args.decode_file) > 1 and not args.stream_words:
+        # equal-sized files queue back to back through run_stream
+        # (sustained serving: dispatches pipeline, one trailing block)
+        # instead of paying a blocking round trip per file
+        raws = []
+        for path in args.decode_file:
+            try:
+                raws.append(np.fromfile(path, dtype=in_dtype))
+            except OSError as e:
+                print(f"Error: cannot read {path}: {e}", file=sys.stderr)
+                return 1
+        if len({r.shape[0] for r in raws}) == 1:
+            input_num = raws[0].shape[0] * cfg.enc_data_per_pack
+            m = cfg.get_message_len(input_num)
+            if m <= 0:
+                print(f"Error: {args.decode_file[0]} holds "
+                      f"{raws[0].shape[0]} words — no decodable bits after "
+                      f"the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
+                      f"framing.", file=sys.stderr)
+                return 1
+            outs, per = dec.run_stream(raws, input_num,
+                                       want_time=args.verbose)
+            for path, out in zip(args.decode_file, outs):
+                out.tofile(path + ".dec")
+                print("Decode executed.")
+                print(f"Final results -> {m} bits decoded to {path}.dec "
+                      f"({out.nbytes} bytes)")
+            if args.verbose and per:
+                gbps = m / per / 1e9
+                line = (f"{len(outs)} files queued back to back: "
+                        f"{per * 1e3:.3f} ms/file sustained "
+                        f"({gbps:.3f} Gb/s)")
+                if gbps > 25.0:
+                    line += ("  [beyond the single-chip credibility bound "
+                             "— async dispatch]")
+                print(line)
+            return 0
+        del raws   # mixed sizes: fall through to the per-file loop
+
     total_bits = 0
     for path in args.decode_file:
         if args.stream_words:
