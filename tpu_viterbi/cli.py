@@ -116,11 +116,12 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _stream_decode_one(args, cfg: DecoderConfig, path: str) -> int:
+def _stream_decode_one(args, cfg: DecoderConfig, path: str):
     """--decode-file --stream-words N: chunked decode of one file through
     the overlap-save streaming decoder (decoder/streaming.py) — fixed
     host memory at any file size, output bit-identical to the one-shot
-    decode of the same stream (its push/flush framing contract)."""
+    decode of the same stream (its push/flush framing contract).
+    Returns (rc, decoded_bits)."""
     from .decoder.api import DEFAULT_DEC_LEN
     from .decoder.streaming import StreamingViterbi
 
@@ -146,13 +147,13 @@ def _stream_decode_one(args, cfg: DecoderConfig, path: str) -> int:
             emitted_words += out.size
     except OSError as e:
         print(f"Error: cannot stream {path}: {e}", file=sys.stderr)
-        return 1
+        return 1, 0
     m = cfg.get_message_len(n_words * cfg.enc_data_per_pack)
     if m <= 0:
         print(f"Error: {path} holds {n_words} words — no decodable bits "
               f"after the {cfg.extra_l}+{cfg.extra_r}-bit overlap-save "
               f"framing.", file=sys.stderr)
-        return 1
+        return 1, 0
     if args.verbose:
         print(f"Input file: {path} ({n_words} words in {n_chunks} chunks "
               f"of {args.stream_words})")
@@ -160,7 +161,7 @@ def _stream_decode_one(args, cfg: DecoderConfig, path: str) -> int:
     print(f"Final results -> {emitted_words * cfg.bits_per_pack} bits "
           f"decoded to {out_path} "
           f"({emitted_words * (cfg.bits_per_pack // 8)} bytes)")
-    return 0
+    return 0, emitted_words * cfg.bits_per_pack
 
 
 def run_decode_file(args, cfg: DecoderConfig) -> int:
@@ -220,9 +221,10 @@ def run_decode_file(args, cfg: DecoderConfig) -> int:
     total_bits = 0
     for path in args.decode_file:
         if args.stream_words:
-            rc = _stream_decode_one(args, cfg, path)
+            rc, bits = _stream_decode_one(args, cfg, path)
             if rc != 0:
                 return rc
+            total_bits += bits
             continue
         try:
             raw = np.fromfile(path, dtype=in_dtype)
